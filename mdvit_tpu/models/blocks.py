@@ -1,0 +1,320 @@
+"""The factorized-attention transformer substrate (MPViT/CoaT style).
+
+TPU-first re-design of the reference's core blocks:
+
+* ``ConvPosEnc`` (CPE) — ``mpvit.py:229-248``
+* ``ConvRelPosEnc`` (CRPE) — ``mpvit.py:251-318``; the reference's per-window
+  list of depthwise convs ({3:2,5:3,7:3} heads per window) is fused here into
+  ONE depthwise conv whose kernel is assembled from zero-padded per-window
+  weights — mathematically identical, one XLA conv instead of three.
+* ``FactorAtt(+Sup)`` — linear-complexity attention ``Q·(softmaxₙ(K)ᵀV)``
+  (``mpvit.py:321-373``), with the optional domain-adapter gate
+  (``mdvit.py:243-313``): an MLP on the one-hot domain label produces a
+  per-head gate, softmaxed over heads, multiplied into the attention output.
+  The gate is data (per-sample one-hot), so a mixed-domain batch runs in one
+  program.
+* ``SerialBlock`` — CPE → LN → att → +droppath → LN → MLP → +droppath
+  (``mdvit.py:316-361``); per-domain LayerNorms (``_M``, ``mdvit.py:364-412``)
+  via ``dsn=True``.
+* ``MHSAStage`` — shared CPE/CRPE + N serial blocks (``mdvit.py:415-469``).
+
+Tokens are ``(B, N, C)`` with a static ``size=(H, W)`` grid; heads layout is
+``(B, N, heads, ch)`` to avoid transposes around the einsums.
+"""
+from __future__ import annotations
+
+from typing import Mapping, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mdvit_tpu.ops.layers import (
+    DropPath,
+    Mlp,
+    NormSpec,
+    conv2d,
+    dense,
+)
+from mdvit_tpu.ops.norm import DomainLayerNorm
+
+# attention math runs in fp32 on the MXU regardless of activation dtype;
+# these contractions are tiny (Ch ≤ 64) and precision-critical
+_ATT_PREC = jax.lax.Precision.HIGHEST
+
+DEFAULT_CRPE_WINDOW: Mapping[int, int] = {3: 2, 5: 3, 7: 3}
+
+
+def tokens_to_grid(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    b, n, c = x.shape
+    return x.reshape(b, size[0], size[1], c)
+
+
+def grid_to_tokens(x: jax.Array) -> jax.Array:
+    b, h, w, c = x.shape
+    return x.reshape(b, h * w, c)
+
+
+class ConvPosEnc(nn.Module):
+    """Depthwise-conv positional encoding with residual (``mpvit.py:229``)."""
+
+    dim: int
+    k: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+        feat = tokens_to_grid(x, size)
+        out = conv2d(
+            self.dim, self.k, 1, self.k // 2, groups=self.dim,
+            dtype=self.dtype, name="proj",
+        )(feat)
+        return grid_to_tokens(out + feat)
+
+
+class ConvRelPosEnc(nn.Module):
+    """Convolutional relative position encoding (``mpvit.py:251-318``).
+
+    Per-window depthwise convs on V (grid layout) gated by Q. Kernels of all
+    windows are zero-embedded into a single ``max_window²`` depthwise kernel:
+    a k×k conv with pad k//2 equals a K×K conv with pad K//2 whose kernel is
+    the k×k kernel centred among zeros, so one fused conv replaces the
+    reference's split/conv/concat (layout-thrash-free on TPU).
+    """
+
+    ch_per_head: int
+    num_heads: int
+    window: Mapping[int, int] = None  # type: ignore[assignment]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, q: jax.Array, v: jax.Array, size: Tuple[int, int]
+    ) -> jax.Array:
+        window = dict(self.window or DEFAULT_CRPE_WINDOW)
+        assert sum(window.values()) == self.num_heads
+        ch = self.ch_per_head
+        b, n, h, _ = q.shape
+        max_k = max(window)
+
+        kernel_parts = []
+        bias_parts = []
+        for wk, heads_split in window.items():
+            c_split = heads_split * ch
+            # reference init after _init_weights: normal(0, sqrt(2/(k*k)))
+            # (depthwise ⇒ fan_out = k·k·out/groups = k·k)
+            std = (2.0 / (wk * wk)) ** 0.5
+            wgt = self.param(
+                f"w{wk}",
+                lambda key, shape, s=std: s * jax.random.normal(key, shape),
+                (wk, wk, 1, c_split),
+            )
+            bia = self.param(f"b{wk}", nn.initializers.zeros, (c_split,))
+            pad = (max_k - wk) // 2
+            wgt = jnp.pad(wgt, ((pad, pad), (pad, pad), (0, 0), (0, 0)))
+            kernel_parts.append(wgt)
+            bias_parts.append(bia)
+        kernel = jnp.concatenate(kernel_parts, axis=-1)  # (K,K,1,h*ch)
+        bias = jnp.concatenate(bias_parts)
+
+        v_img = v.reshape(b, size[0], size[1], h * ch)
+        conv_v = jax.lax.conv_general_dilated(
+            v_img.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((max_k // 2, max_k // 2), (max_k // 2, max_k // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=h * ch,
+            precision=_ATT_PREC,
+        ) + bias.astype(self.dtype)
+        conv_v = conv_v.reshape(b, n, h, ch)
+        return q * conv_v
+
+
+class FactorAtt(nn.Module):
+    """Factorized attention with CRPE and optional domain-adapter gate.
+
+    ``sup=False`` → reference ``FactorAtt_ConvRelPosEnc`` (``mpvit.py:321``);
+    ``sup=True``  → ``FactorAtt_ConvRelPosEnc_Sup`` (``mdvit.py:243-313``):
+    ``domain_layer`` MLP (D → max(dim//2,4) → heads·ch), reshaped to a
+    per-head gate, softmax over heads, multiplied into scale·att + crpe.
+
+    Kept name ``domain_layer`` is ABI: the MKD masked double-gradient
+    (train/steps.py) matches parameter paths on this substring, as the
+    reference matches ``'domain_layer' in name`` (``multi_train_MDViT.py:198``).
+    """
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = True
+    sup: bool = False
+    num_domains: int = 4
+    r: int = 2
+    proj_drop: float = 0.0
+    crpe: ConvRelPosEnc = None  # type: ignore[assignment]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        size: Tuple[int, int],
+        domain_onehot: jax.Array | None = None,
+        train: bool = False,
+    ) -> jax.Array:
+        b, n, c = x.shape
+        h = self.num_heads
+        ch = c // h
+        scale = ch ** -0.5
+
+        qkv = dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                    name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, h, ch)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        # softmax over the token axis (this is what makes it linear attention)
+        k_soft = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(q.dtype)
+        ktv = jnp.einsum(
+            "bnhk,bnhv->bhkv", k_soft, v, precision=_ATT_PREC,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+        factor_att = jnp.einsum(
+            "bnhk,bhkv->bnhv", q, ktv, precision=_ATT_PREC,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+
+        crpe = self.crpe(q, v, size)
+        out = scale * factor_att + crpe  # (B, N, h, ch)
+
+        if self.sup:
+            hidden = max(self.dim // self.r, 4)
+            gate = dense(hidden, dtype=self.dtype, name="domain_layer_fc1")(
+                domain_onehot.astype(out.dtype)
+            )
+            gate = jax.nn.relu(gate)
+            gate = dense(h * ch, dtype=self.dtype, name="domain_layer_fc2")(gate)
+            gate = gate.reshape(b, 1, h, ch)
+            gate = jax.nn.softmax(gate.astype(jnp.float32), axis=2).astype(
+                out.dtype
+            )  # softmax over heads
+            out = out * gate
+
+        out = out.reshape(b, n, c)
+        out = dense(c, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return out
+
+
+class SerialBlock(nn.Module):
+    """CPE → LN → factor-att → +droppath → LN → MLP → +droppath
+    (``mdvit.py:316-412``; ``dsn=True`` is the per-domain-LN ``_M`` variant).
+    """
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    drop_path: float = 0.0
+    sup: bool = False
+    dsn: bool = False
+    num_domains: int = 4
+    cpe: ConvPosEnc = None  # type: ignore[assignment]
+    crpe: ConvRelPosEnc = None  # type: ignore[assignment]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        size: Tuple[int, int],
+        domain_onehot: jax.Array | None = None,
+        train: bool = False,
+    ) -> jax.Array:
+        ln = lambda name: DomainLayerNorm(
+            num_features=self.dim,
+            num_domains=self.num_domains,
+            per_domain=self.dsn,
+            dtype=self.dtype,
+            name=name,
+        )
+        x = self.cpe(x, size)
+        cur = ln("norm1")(x, domain_onehot)
+        cur = FactorAtt(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            sup=self.sup,
+            num_domains=self.num_domains,
+            proj_drop=self.drop,
+            crpe=self.crpe,
+            dtype=self.dtype,
+            name="factoratt_crpe",
+        )(cur, size, domain_onehot, train)
+        x = x + DropPath(self.drop_path, name="drop_path1")(cur, train)
+
+        cur = ln("norm2")(x, domain_onehot)
+        cur = Mlp(
+            hidden_features=int(self.dim * self.mlp_ratio),
+            drop=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(cur, train)
+        x = x + DropPath(self.drop_path, name="drop_path2")(cur, train)
+        return x
+
+
+class MHSAStage(nn.Module):
+    """A stage: shared CPE + shared CRPE + ``num_layers`` serial blocks
+    (``mdvit.py:415-469``). ``(B, N, C) → (B, N, C)``."""
+
+    dim: int
+    num_layers: int
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool = True
+    drop: float = 0.0
+    drop_path: float = 0.0
+    sup: bool = False
+    dsn: bool = False
+    num_domains: int = 4
+    crpe_window: Mapping[int, int] = None  # type: ignore[assignment]
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.cpe = ConvPosEnc(dim=self.dim, k=3, dtype=self.dtype)
+        self.crpe = ConvRelPosEnc(
+            ch_per_head=self.dim // self.num_heads,
+            num_heads=self.num_heads,
+            window=self.crpe_window or DEFAULT_CRPE_WINDOW,
+            dtype=self.dtype,
+        )
+        self.blocks = [
+            SerialBlock(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop,
+                drop_path=self.drop_path,
+                sup=self.sup,
+                dsn=self.dsn,
+                num_domains=self.num_domains,
+                cpe=self.cpe,
+                crpe=self.crpe,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+
+    def __call__(
+        self,
+        x: jax.Array,
+        size: Tuple[int, int],
+        domain_onehot: jax.Array | None = None,
+        train: bool = False,
+    ) -> jax.Array:
+        for blk in self.blocks:
+            x = blk(x, size, domain_onehot, train)
+        return x

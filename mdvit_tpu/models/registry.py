@@ -1,0 +1,45 @@
+"""Model registry: name → constructor.
+
+Replaces the reference's if/elif dispatch tables
+(``multi_train_MDViT.py:56-65``, ``multi_train_BASE.py:66-88``).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+_REGISTRY: dict[str, Callable] = {}
+
+
+def register_model(name: str):
+    def deco(fn: Callable):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def get_model(name: str, **kwargs):
+    if name not in _REGISTRY:
+        # import model modules lazily so registration side effects run
+        import mdvit_tpu.models.mdvit  # noqa: F401
+        import mdvit_tpu.models.base  # noqa: F401
+        try:
+            import mdvit_tpu.models.swin_unet  # noqa: F401
+            import mdvit_tpu.models.utnet  # noqa: F401
+            import mdvit_tpu.models.transfuse  # noqa: F401
+            import mdvit_tpu.models.swin_unetr  # noqa: F401
+            import mdvit_tpu.models.base_adapters  # noqa: F401
+        except ImportError:
+            pass
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown model {name!r}; have {sorted(_REGISTRY)}")
+    return _REGISTRY[name](**kwargs)
+
+
+def list_models() -> list[str]:
+    get_model.__wrapped__ = None  # trigger nothing; imports happen in get_model
+    try:
+        get_model("__none__")
+    except KeyError:
+        pass
+    return sorted(_REGISTRY)

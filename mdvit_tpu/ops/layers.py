@@ -1,0 +1,244 @@
+"""Conv/MLP building blocks shared by every model in the zoo.
+
+TPU-native re-designs of the reference's L2 primitives
+(``Models/Transformer/mpvit.py:51-201``, ``Models/Transformer/mdvit.py:23-240``,
+``Models/Decoders.py:15-118``): NHWC layout, explicit torch-equivalent padding,
+fp32 norms, and per-domain normalization folded into data (see ops/norm.py) so
+the plain and "_M" (domain-specific-norm) reference variants are one module.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mdvit_tpu.ops.initializers import conv_kaiming_fanout, dense_trunc_normal
+from mdvit_tpu.ops.norm import DomainBatchNorm
+
+
+class NormSpec(NamedTuple):
+    """How a conv-path BatchNorm behaves w.r.t. domains.
+
+    dsn=False → the reference's shared BN; dsn=True → the "_M" per-domain BN.
+    group_stats=True reproduces the reference's per-domain batch statistics
+    (each domain forward saw only its own minibatch).
+    """
+
+    num_domains: int = 1
+    dsn: bool = False
+    group_stats: bool = True
+
+
+def make_bn(features: int, spec: NormSpec, dtype=jnp.float32, name=None):
+    return DomainBatchNorm(
+        num_features=features,
+        num_domains=spec.num_domains,
+        affine_per_domain=spec.dsn,
+        stats_per_domain=spec.dsn,
+        group_stats=spec.group_stats,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def get_act(name: str | None) -> Callable[[jax.Array], jax.Array]:
+    if name is None:
+        return lambda x: x
+    return {
+        "hardswish": jax.nn.hard_swish,
+        "relu": jax.nn.relu,
+        "relu6": jax.nn.relu6,
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "sigmoid": jax.nn.sigmoid,
+    }[name]
+
+
+def conv2d(
+    features: int,
+    kernel_size: int | Sequence[int],
+    stride: int = 1,
+    padding: int | None = None,
+    groups: int = 1,
+    use_bias: bool = True,
+    dilation: int = 1,
+    dtype=jnp.float32,
+    name: str | None = None,
+) -> nn.Conv:
+    """torch-parity Conv2d: explicit symmetric padding, kaiming-fan_out init."""
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    if padding is None:
+        padding = (kernel_size[0] - 1) // 2 * dilation
+    return nn.Conv(
+        features=features,
+        kernel_size=tuple(kernel_size),
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        feature_group_count=groups,
+        use_bias=use_bias,
+        kernel_dilation=(dilation, dilation),
+        kernel_init=conv_kaiming_fanout(groups),
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+def dense(features: int, use_bias: bool = True, dtype=jnp.float32, name=None):
+    return nn.Dense(
+        features=features,
+        use_bias=use_bias,
+        kernel_init=dense_trunc_normal(0.02),
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class ConvBN(nn.Module):
+    """Conv (no bias) → BN → act. Reference ``Conv2d_BN`` (``mpvit.py:81-124``)
+    and its DSN twin ``Conv2d_BN_M`` (``mdvit.py:23-70``) via ``norm.dsn``."""
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: int | None = 0
+    groups: int = 1
+    act: str | None = None
+    norm: NormSpec = NormSpec()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, domain_onehot=None, train: bool = False):
+        x = conv2d(
+            self.features,
+            self.kernel_size,
+            self.stride,
+            self.padding,
+            self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = make_bn(self.features, self.norm, self.dtype, name="bn")(
+            x, domain_onehot, use_running_average=not train
+        )
+        return get_act(self.act)(x)
+
+
+class DWConvBN(nn.Module):
+    """Depthwise-separable conv → BN → act.
+
+    Two reference wirings exist; ``pw_first=False`` covers both used shapes:
+
+    * ``mdvit.py:74-123`` (patch embeds): dw ``in→in`` groups=in, then pw
+      ``in→out`` — our default when ``dw_groups_on='in'``.
+    * ``Decoders.py:15-63`` (decoder conv_after): dw ``in→out`` groups=out
+      (2 input channels per group when in=2·out), then pw ``out→out`` —
+      ``dw_groups_on='out'``.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    act: str | None = "hardswish"
+    dw_groups_on: str = "in"  # 'in' | 'out'
+    norm: NormSpec = NormSpec()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, domain_onehot=None, train: bool = False):
+        in_ch = x.shape[-1]
+        if self.dw_groups_on == "in":
+            x = conv2d(
+                in_ch,
+                self.kernel_size,
+                self.stride,
+                groups=in_ch,
+                padding=(self.kernel_size - 1) // 2,
+                use_bias=False,
+                dtype=self.dtype,
+                name="dwconv",
+            )(x)
+            x = conv2d(
+                self.features, 1, 1, 0, use_bias=False, dtype=self.dtype,
+                name="pwconv",
+            )(x)
+        else:
+            x = conv2d(
+                self.features,
+                self.kernel_size,
+                self.stride,
+                groups=self.features,
+                padding=(self.kernel_size - 1) // 2,
+                use_bias=False,
+                dtype=self.dtype,
+                name="dwconv",
+            )(x)
+            x = conv2d(
+                self.features, 1, 1, 0, use_bias=False, dtype=self.dtype,
+                name="pwconv",
+            )(x)
+        x = make_bn(self.features, self.norm, self.dtype, name="bn")(
+            x, domain_onehot, use_running_average=not train
+        )
+        return get_act(self.act)(x)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: per-sample residual drop (timm ``DropPath`` parity:
+    keep-prob scaling, Bernoulli over the batch axis only)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Dropout2d(nn.Module):
+    """Channel dropout over NHWC: zeroes whole channels per sample
+    (torch ``nn.Dropout2d`` parity)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(
+            rng, keep, (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+        )
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Mlp(nn.Module):
+    """Transformer FFN: fc → act → drop → fc → drop (``mpvit.py:51-78``)."""
+
+    hidden_features: int
+    out_features: int | None = None
+    act: str = "gelu"
+    drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_f = self.out_features or x.shape[-1]
+        x = dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = get_act(self.act)(x)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        x = dense(out_f, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        return x
