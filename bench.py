@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Benchmark: images/sec/chip for the full 4-domain MDViT train step.
+
+Measures the flagship configuration end-to-end as trained (reference recipe:
+256², batch 4/domain → 16 images/step, Sup adapters, MKD double-backward,
+AdamW update, on-device augmentation) on one chip.
+
+``vs_baseline`` compares against an A100 estimate for the PyTorch reference,
+since the reference repo publishes no numbers (BASELINE.md): the reference
+runs 4 sequential fp32/TF32 forwards + a double backward over a ~35M-param
+model at 256² (~50 GFLOP/img forward, ~150 GFLOP/img train step); at the
+20-30% utilization typical of small-batch research PyTorch on A100 (TF32,
+≈156 TFLOP/s peak) that is ≈200-300 img/s. We pin the baseline at the
+optimistic end, 300 img/s, so vs_baseline is conservative.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_BASELINE_IMG_PER_SEC = 300.0
+BATCH_PER_DOMAIN = 4
+NUM_DOMAINS = 4
+IMG = 256
+WARMUP = 5
+ITERS = 30
+
+
+def main():
+    from mdvit_tpu.config import load_config
+    from mdvit_tpu.models.registry import get_model
+    from mdvit_tpu.train.optim import build_optimizer
+    from mdvit_tpu.train.steps import TrainState, make_train_step
+
+    import os
+
+    dtype = (
+        jnp.bfloat16
+        if os.environ.get("MDVIT_BENCH_DTYPE", "bf16") == "bf16"
+        else jnp.float32
+    )
+    model = get_model("MDViT", img_size=IMG, num_domains=NUM_DOMAINS,
+                      adapt_method="Sup", dtype=dtype)
+    b = BATCH_PER_DOMAIN
+    x = jnp.zeros((NUM_DOMAINS * b, IMG, IMG, 3), jnp.float32)
+    onehot = jnp.repeat(jnp.eye(NUM_DOMAINS, dtype=jnp.float32), b, 0)
+    variables = jax.jit(
+        lambda k: model.init({"params": k, "dropout": k}, x, onehot,
+                             train=False, aux_mode="grouped")
+    )(jax.random.PRNGKey(0))
+
+    config = load_config()
+    tx = build_optimizer(config, steps_per_epoch=648)  # ref: 2594//4
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        rng=jax.random.PRNGKey(1),
+    )
+
+    # synthetic device-resident stores sized like the real domains
+    rng = np.random.RandomState(0)
+    n_store = 64
+    images = tuple(
+        jax.device_put(rng.randint(0, 255, (n_store, IMG, IMG, 3), np.uint8))
+        for _ in range(NUM_DOMAINS)
+    )
+    masks = tuple(
+        jax.device_put((rng.rand(n_store, IMG, IMG) > 0.5).astype(np.uint8))
+        for _ in range(NUM_DOMAINS)
+    )
+
+    step = make_train_step(model, tx, NUM_DOMAINS, alpha=0.5, det_sup=True,
+                           mkd=True, device_augment=True, donate=True)
+
+    def idx(i):
+        return jnp.asarray(
+            (np.arange(NUM_DOMAINS * b, dtype=np.int32) * (i + 1)) % n_store
+        ).reshape(NUM_DOMAINS, b)
+
+    for i in range(WARMUP):
+        state, metrics = step(state, images, masks, idx(i))
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = step(state, images, masks, idx(i))
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = NUM_DOMAINS * b * ITERS / dt
+    print(json.dumps({
+        "metric": "mdvit_4domain_256_train_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

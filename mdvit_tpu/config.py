@@ -141,6 +141,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--results_dir", type=str, default="./results")
+    p.add_argument(
+        "--exp_dir", type=str, default=None,
+        help="exact experiment dir (overrides the timestamped path; point at "
+        "an existing run to resume from its last checkpoint)",
+    )
     return p
 
 

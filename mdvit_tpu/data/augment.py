@@ -1,0 +1,179 @@
+"""On-device augmentation pipeline (albumentations-equivalent, jittable).
+
+The reference augments on CPU worker processes with albumentations
+(``Datasets/create_dataset.py:132-139``):
+``Resize → GaussNoise → HFlip → VFlip → ShiftScaleRotate →
+RandomBrightnessContrast``, each p=0.5, followed by ``norm01`` and ImageNet
+normalization (``:143-144,165``). This host is effectively single-core, so the
+augs are reimplemented as pure jnp ops that run inside the jitted train step —
+counter-based RNG, per-sample probabilities as data, no host work at all.
+
+Semantics matched to albumentations 1.1 defaults:
+
+* GaussNoise: var ~ U(10, 50), additive N(0, sqrt(var)) per pixel/channel on
+  the 0..255 scale, then clip.
+* ShiftScaleRotate: shift ~ U(±0.0625)·size, scale ~ 1+U(±0.1),
+  rotate ~ U(±45°); cv2.warpAffine semantics (integer pixel grid, matrix from
+  cv2.getRotationMatrix2D about the image center, inverse-mapped sampling),
+  bilinear for image / nearest for mask, BORDER_REFLECT_101.
+* RandomBrightnessContrast: img·(1+U(±0.2)) + U(±0.2)·255, clip
+  (brightness_by_max=True).
+
+Exact per-sample RNG parity with albumentations is neither possible nor
+needed (SURVEY.md §7.3: distributional parity); geometry parity is pinned by
+``tests/test_augment.py`` against cv2-free torch/numpy references.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def normalize(images: jax.Array) -> jax.Array:
+    """norm01 (clip/255, ``create_dataset.py:25``) + ImageNet normalize."""
+    x = jnp.clip(images, 0.0, 255.0) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def _reflect101(coord: jax.Array, size: int) -> jax.Array:
+    """cv2 BORDER_REFLECT_101 index folding: ...2 1 | 0 1 2 ... n-1 | n-2 n-3"""
+    if size == 1:
+        return jnp.zeros_like(coord)
+    period = 2 * (size - 1)
+    c = jnp.mod(coord, period)
+    c = jnp.where(c < 0, c + period, c)
+    return jnp.where(c >= size, period - c, c)
+
+
+def _affine_sample(
+    img: jax.Array, a_inv: jax.Array, t_inv: jax.Array, nearest: bool
+) -> jax.Array:
+    """Sample ``img (H, W, C)`` at ``A_inv·(x,y) + t_inv`` for each output
+    pixel (cv2.warpAffine inverse-mapping convention, integer pixel grid)."""
+    h, w = img.shape[0], img.shape[1]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = a_inv[0, 0] * xs + a_inv[0, 1] * ys + t_inv[0]
+    sy = a_inv[1, 0] * xs + a_inv[1, 1] * ys + t_inv[1]
+
+    if nearest:
+        ix = _reflect101(jnp.round(sx).astype(jnp.int32), w)
+        iy = _reflect101(jnp.round(sy).astype(jnp.int32), h)
+        return img[iy, ix]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    x0i = _reflect101(x0.astype(jnp.int32), w)
+    x1i = _reflect101(x0.astype(jnp.int32) + 1, w)
+    y0i = _reflect101(y0.astype(jnp.int32), h)
+    y1i = _reflect101(y0.astype(jnp.int32) + 1, h)
+    v00 = img[y0i, x0i]
+    v01 = img[y0i, x1i]
+    v10 = img[y1i, x0i]
+    v11 = img[y1i, x1i]
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _rotation_matrix(angle_deg, scale, dx, dy, h: int, w: int):
+    """cv2.getRotationMatrix2D about (w/2, h/2) + albumentations shift."""
+    theta = angle_deg * (jnp.pi / 180.0)
+    alpha = scale * jnp.cos(theta)
+    beta = scale * jnp.sin(theta)
+    cx, cy = w / 2.0, h / 2.0
+    a = jnp.stack(
+        [jnp.stack([alpha, beta]), jnp.stack([-beta, alpha])]
+    )  # (2, 2)
+    t = jnp.stack(
+        [
+            (1.0 - alpha) * cx - beta * cy + dx * w,
+            beta * cx + (1.0 - alpha) * cy + dy * h,
+        ]
+    )
+    # invert: dst(x) = src(A⁻¹(x - t))
+    det = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+    a_inv = (
+        jnp.stack(
+            [jnp.stack([a[1, 1], -a[0, 1]]), jnp.stack([-a[1, 0], a[0, 0]])]
+        )
+        / det
+    )
+    t_inv = -a_inv @ t
+    return a_inv, t_inv
+
+
+def _ssr_single(img, mask, key):
+    """ShiftScaleRotate on one (H, W, C) image + (H, W) mask."""
+    h, w = img.shape[0], img.shape[1]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    apply = jax.random.bernoulli(k1, 0.5)
+    angle = jnp.where(apply, jax.random.uniform(k2, minval=-45.0, maxval=45.0), 0.0)
+    scale = jnp.where(
+        apply, 1.0 + jax.random.uniform(k3, minval=-0.1, maxval=0.1), 1.0
+    )
+    shift = jnp.where(
+        apply,
+        jax.random.uniform(k4, (2,), minval=-0.0625, maxval=0.0625),
+        jnp.zeros(2),
+    )
+    a_inv, t_inv = _rotation_matrix(angle, scale, shift[0], shift[1], h, w)
+    img_out = _affine_sample(img, a_inv, t_inv, nearest=False)
+    mask_out = _affine_sample(mask[..., None], a_inv, t_inv, nearest=True)[..., 0]
+    return img_out, mask_out
+
+
+def augment_batch(
+    key: jax.Array,
+    images: jax.Array,  # (B, H, W, 3) float32, 0..255 scale
+    masks: jax.Array,  # (B, H, W) float32 {0,1}
+) -> Tuple[jax.Array, jax.Array]:
+    """Train-time augmentation. Returns (normalized images, labels (B,H,W,1))."""
+    b = images.shape[0]
+    k_noise, k_napply, k_h, k_v, k_ssr, k_bc = jax.random.split(key, 6)
+
+    # GaussNoise (p=0.5, var ~ U(10, 50))
+    var = jax.random.uniform(
+        jax.random.fold_in(k_noise, 1), (b, 1, 1, 1), minval=10.0, maxval=50.0
+    )
+    noise = jax.random.normal(k_noise, images.shape) * jnp.sqrt(var)
+    apply_n = jax.random.bernoulli(k_napply, 0.5, (b, 1, 1, 1))
+    images = jnp.clip(images + jnp.where(apply_n, noise, 0.0), 0.0, 255.0)
+
+    # flips (p=0.5 each)
+    fh = jax.random.bernoulli(k_h, 0.5, (b, 1, 1, 1))
+    fv = jax.random.bernoulli(k_v, 0.5, (b, 1, 1, 1))
+    images = jnp.where(fh, images[:, :, ::-1], images)
+    images = jnp.where(fv, images[:, ::-1], images)
+    fmh, fmv = fh[..., 0], fv[..., 0]
+    masks = jnp.where(fmh, masks[:, :, ::-1], masks)
+    masks = jnp.where(fmv, masks[:, ::-1], masks)
+
+    # ShiftScaleRotate (p=0.5)
+    keys = jax.random.split(k_ssr, b)
+    images, masks = jax.vmap(_ssr_single)(images, masks, keys)
+
+    # RandomBrightnessContrast (p=0.5)
+    kb1, kb2, kb3 = jax.random.split(k_bc, 3)
+    apply_bc = jax.random.bernoulli(kb1, 0.5, (b, 1, 1, 1))
+    alpha = 1.0 + jax.random.uniform(kb2, (b, 1, 1, 1), minval=-0.2, maxval=0.2)
+    beta = jax.random.uniform(kb3, (b, 1, 1, 1), minval=-0.2, maxval=0.2)
+    bc = jnp.clip(images * alpha + beta * 255.0, 0.0, 255.0)
+    images = jnp.where(apply_bc, bc, images)
+
+    labels = (masks > 0.5).astype(jnp.float32)[..., None]
+    return normalize(images), labels
+
+
+def eval_transform(images: jax.Array, masks: jax.Array):
+    """Eval path: normalize only (resize happened at load time, mirroring the
+    reference's eval ``A.Compose([Resize])``)."""
+    labels = (masks > 0.5).astype(jnp.float32)[..., None]
+    return normalize(images), labels

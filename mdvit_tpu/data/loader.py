@@ -1,0 +1,99 @@
+"""Device-resident multi-domain batching.
+
+The reference drives four ``torch.utils.data.DataLoader`` round-robin
+iterators, re-iterating each domain when exhausted
+(``multi_train_MDViT.py:106-134``): every optimizer step consumes one
+batch-of-4 from EVERY domain. Here the four domains are stacked into one
+``(D·B, ...)`` device batch; the epoch length is
+``max(len(domain))//batch_size`` like the reference's
+``iterations = max(len(loader))`` (``:112``).
+
+TPU-native: the full uint8 corpus sits in device HBM; the host only supplies
+``(D, B)`` int32 index arrays per step, and the gather + augmentation run
+inside the jitted train step. Zero per-step image H2D traffic.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdvit_tpu.data.datasets import DomainArrays
+
+
+class DeviceDomainStore:
+    """Uploads each domain's arrays to device once; exposes them as a tuple
+    of (images_u8, masks_u8) jax arrays for consumption inside jit."""
+
+    def __init__(self, domains: Sequence[DomainArrays], sharding=None):
+        self.names = [d.name for d in domains]
+        self.sizes = [len(d) for d in domains]
+        put = (lambda a: jax.device_put(a, sharding)) if sharding else jax.device_put
+        self.images = tuple(put(d.images) for d in domains)
+        self.masks = tuple(put(d.masks) for d in domains)
+
+
+class RoundRobinSampler:
+    """Per-domain shuffled index streams with drop_last + re-shuffle on
+    exhaustion (reference DataLoader(shuffle=True, drop_last=True) + the
+    StopIteration re-iter at ``multi_train_MDViT.py:130-134``)."""
+
+    def __init__(self, sizes: Sequence[int], batch_size: int, seed: int = 0):
+        self.sizes = list(sizes)
+        self.batch_size = batch_size
+        self._rngs = [np.random.RandomState(seed + i) for i in range(len(sizes))]
+        self._queues = [self._fresh(i) for i in range(len(sizes))]
+
+    def _fresh(self, i: int) -> list[int]:
+        perm = self._rngs[i].permutation(self.sizes[i])
+        usable = (self.sizes[i] // self.batch_size) * self.batch_size
+        return list(perm[:usable])
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return max(s // self.batch_size for s in self.sizes)
+
+    def next_batch(self) -> np.ndarray:
+        """(D, B) int32 indices, one row per domain."""
+        rows = []
+        for i in range(len(self.sizes)):
+            if len(self._queues[i]) < self.batch_size:
+                self._queues[i] = self._fresh(i)
+            rows.append(self._queues[i][: self.batch_size])
+            del self._queues[i][: self.batch_size]
+        return np.asarray(rows, np.int32)
+
+
+def gather_batch(
+    store_images: tuple, store_masks: tuple, indices: jax.Array
+):
+    """Inside-jit gather: stack D per-domain batches into one (D·B, S, S, ·)
+    float batch plus the (D·B, D) one-hot. ``indices`` is (D, B)."""
+    d = len(store_images)
+    b = indices.shape[1]
+    imgs = jnp.concatenate(
+        [store_images[i][indices[i]] for i in range(d)], axis=0
+    ).astype(jnp.float32)
+    masks = jnp.concatenate(
+        [store_masks[i][indices[i]] for i in range(d)], axis=0
+    ).astype(jnp.float32)
+    onehot = jnp.repeat(jnp.eye(d, dtype=jnp.float32), b, axis=0)
+    return imgs, masks, onehot
+
+
+def eval_batches(domain: DomainArrays, batch_size: int):
+    """Yield padded eval batches (images, masks, valid_count). Pads the ragged
+    tail to keep shapes static for jit; metrics must mask by valid_count."""
+    n = len(domain)
+    for start in range(0, n, batch_size):
+        stop = min(start + batch_size, n)
+        imgs = domain.images[start:stop].astype(np.float32)
+        msks = domain.masks[start:stop].astype(np.float32)
+        valid = stop - start
+        if valid < batch_size:
+            pad = batch_size - valid
+            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], np.float32)])
+            msks = np.concatenate([msks, np.zeros((pad,) + msks.shape[1:], np.float32)])
+        yield imgs, msks, valid

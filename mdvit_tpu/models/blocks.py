@@ -38,9 +38,11 @@ from mdvit_tpu.ops.layers import (
 )
 from mdvit_tpu.ops.norm import DomainLayerNorm
 
-# attention math runs in fp32 on the MXU regardless of activation dtype;
-# these contractions are tiny (Ch ≤ 64) and precision-critical
-_ATT_PREC = jax.lax.Precision.HIGHEST
+# Attention contraction precision is inherited from the ambient
+# jax.default_matmul_precision (tests pin 'highest' for torch parity; TPU
+# training uses the fast default with fp32 accumulation via
+# preferred_element_type)
+_ATT_PREC = None
 
 DEFAULT_CRPE_WINDOW: Mapping[int, int] = {3: 2, 5: 3, 7: 3}
 

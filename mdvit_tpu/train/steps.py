@@ -1,0 +1,249 @@
+"""Jitted train/eval steps, including the MKD masked double-gradient.
+
+The reference's staged backward (``multi_train_MDViT.py:195-213``):
+
+1. freeze every param whose name contains ``domain_layer``,
+   ``multi_aux_loss.backward(retain_graph=True)``;
+2. unfreeze, ``(α·multi_kt + (1−α)·multi_seg).backward()``;
+3. one optimizer step on the accumulated grads.
+
+Freezing a *leaf* parameter in torch only stops gradient accumulation into
+that leaf (activations still flow), so the exact functional semantics are:
+
+  grad[p] = ∂(L_aux + L_uni)/∂p   for p ∉ domain_layer
+  grad[p] = ∂(L_uni)/∂p           for p ∈ domain_layer
+
+Implemented with ONE forward and TWO vjp pulls (cotangents (1,1) and (0,1))
+— the same 1-forward/2-backward cost as the reference — then a parameter-path
+mask selects which pull feeds each leaf.
+
+Loss accounting parity: the reference computes each loss per domain (mean/
+global sums over that domain's minibatch of B) and SUMS over domains
+(``:151-194``); we reshape the stacked (D·B) batch into D groups and vmap the
+per-domain losses.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mdvit_tpu.data.augment import augment_batch, eval_transform
+from mdvit_tpu.data.loader import gather_batch
+from mdvit_tpu.train.losses import bce_with_logits, dice_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def path_contains(path, needle: str) -> bool:
+    for p in path:
+        key = getattr(p, "key", None) or getattr(p, "name", None) or str(p)
+        if needle in str(key):
+            return True
+    return False
+
+
+def _per_domain_losses(logits, aux_logits, labels, num_domains: int):
+    """Per-domain (seg, aux, kt) losses + per-domain (dice, iou) metrics.
+
+    Inputs are domain-contiguous (D·B, H, W, 1); each domain's loss uses only
+    its own group, exactly like the reference's per-domain forwards.
+    """
+    d = num_domains
+
+    def group(a):
+        return a.reshape((d, -1) + a.shape[1:])
+
+    lg, ag, yg = group(logits), group(aux_logits), group(labels)
+
+    def one_domain(lgt, agt, y):
+        probs = jax.nn.sigmoid(lgt.astype(jnp.float32))
+        aux_probs = jax.nn.sigmoid(agt.astype(jnp.float32))
+        seg = bce_with_logits(lgt, y) + dice_loss(probs, y)
+        aux = bce_with_logits(agt, y) + dice_loss(aux_probs, y)
+        kt = dice_loss(aux_probs, probs)  # KT_loss(aux_out, output) (:168)
+        pred = (probs > 0.5).astype(jnp.float32)
+        inter = jnp.sum(pred * y)
+        sp, st = jnp.sum(pred), jnp.sum(y)
+        dice = jnp.where(sp + st > 0, 2 * inter / jnp.maximum(sp + st, 1), 0.0)
+        iou = jnp.where(
+            sp + st - inter > 0, inter / jnp.maximum(sp + st - inter, 1), 0.0
+        )
+        return seg, aux, kt, dice, iou
+
+    seg, aux, kt, dice, iou = jax.vmap(one_domain)(lg, ag, yg)
+    return seg, aux, kt, dice, iou
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    num_domains: int,
+    alpha: float = 0.5,
+    det_sup: bool = True,
+    mkd: bool = True,
+    device_augment: bool = True,
+    donate: bool = True,
+    data_sharding=None,
+) -> Callable:
+    """Build the jitted multi-domain train step.
+
+    Signature: ``step(state, images_tuple, masks_tuple, indices) ->
+    (state, metrics)`` where images/masks are the device-resident per-domain
+    uint8 stores and ``indices`` is (D, B) int32.
+    """
+
+    def step(state: TrainState, images, masks, indices):
+        rng, aug_rng, drop_rng = jax.random.split(state.rng, 3)
+        x_raw, m_raw, onehot = gather_batch(images, masks, indices)
+        if device_augment:
+            x, y = augment_batch(aug_rng, x_raw, m_raw)
+        else:
+            x, y = eval_transform(x_raw, m_raw)
+        if data_sharding is not None:
+            # DP: shard the stacked batch over the mesh's data axis; GSPMD
+            # inserts the grad/BN-stat psums over ICI automatically
+            x = jax.lax.with_sharding_constraint(x, data_sharding)
+            y = jax.lax.with_sharding_constraint(y, data_sharding)
+            onehot = jax.lax.with_sharding_constraint(onehot, data_sharding)
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, onehot, train=True, aux_mode="grouped" if mkd else "none",
+                mutable=["batch_stats"],
+                rngs={"dropout": drop_rng},
+            )
+            seg_out = out["seg"]
+            if isinstance(seg_out, tuple):
+                logits, aux_logits = seg_out
+            else:
+                logits, aux_logits = seg_out, None
+            if mkd:
+                seg_d, aux_d, kt_d, dice_d, iou_d = _per_domain_losses(
+                    logits, aux_logits, y, num_domains
+                )
+                multi_seg = jnp.sum(seg_d)
+                multi_aux = jnp.sum(aux_d)
+                multi_kt = jnp.sum(kt_d)
+                uni = alpha * multi_kt + (1.0 - alpha) * multi_seg
+                metrics = {
+                    "loss": multi_seg, "aux_loss": multi_aux,
+                    "kt_loss": multi_kt,
+                    "dice_per_domain": dice_d, "iou_per_domain": iou_d,
+                }
+                return (multi_aux, uni), (updates["batch_stats"], metrics)
+            # BASE-style single objective (multi_train_BASE.py:196-200)
+            seg_d, _, _, dice_d, iou_d = _per_domain_losses(
+                logits, logits, y, num_domains
+            )
+            multi_seg = jnp.sum(seg_d)
+            metrics = {
+                "loss": multi_seg,
+                "dice_per_domain": dice_d, "iou_per_domain": iou_d,
+            }
+            return (jnp.zeros(()), multi_seg), (updates["batch_stats"], metrics)
+
+        (losses_out, vjp_fn, (new_stats, metrics)) = jax.vjp(
+            loss_fn, state.params, has_aux=True
+        )
+        del losses_out
+        one = jnp.ones((), jnp.float32)
+        zero = jnp.zeros((), jnp.float32)
+        if mkd and det_sup:
+            (g_all,) = vjp_fn((one, one))
+            (g_uni,) = vjp_fn((zero, one))
+            grads = jax.tree_util.tree_map_with_path(
+                lambda path, ga, gu: gu
+                if path_contains(path, "domain_layer") else ga,
+                g_all, g_uni,
+            )
+        elif mkd:
+            (grads,) = vjp_fn((one, one))
+        else:
+            (grads,) = vjp_fn((zero, one))
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, mkd: bool = True) -> Callable:
+    """Jitted eval step returning masked overlap counts + loss sums so the
+    host can reproduce the reference's batch-weighted averages exactly
+    (``multi_train_MDViT.py:273-291``), padding-safe."""
+
+    def step(params, batch_stats, images, masks, onehot, valid):
+        x, y = eval_transform(images, masks)
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, onehot, train=False,
+            aux_mode="select" if mkd else "none",
+        )
+        seg_out = out["seg"]
+        if isinstance(seg_out, tuple):
+            logits, aux_logits = seg_out
+        else:
+            logits, aux_logits = seg_out, None
+
+        b = x.shape[0]
+        sample_mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, 1, 1, 1), 0) < valid
+        ).astype(jnp.float32)
+
+        def masked_counts(lg):
+            probs = jax.nn.sigmoid(lg.astype(jnp.float32)) * sample_mask
+            pred = (probs > 0.5).astype(jnp.float32)
+            yv = y * sample_mask
+            return {
+                "inter": jnp.sum(pred * yv),
+                "sum_pred": jnp.sum(pred),
+                "sum_true": jnp.sum(yv),
+            }
+
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        # masked BCE mean + masked squared-denominator dice over valid samples
+        n_valid_elems = valid * y.shape[1] * y.shape[2] * y.shape[3]
+        per_bce = (
+            jnp.maximum(logits, 0.0) - logits * y
+            + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        ) * sample_mask
+        bce = jnp.sum(per_bce) / jnp.maximum(n_valid_elems, 1)
+        pm, ym = probs * sample_mask, y * sample_mask
+        smooth = 1e-5
+        dice_l = 1.0 - (2 * jnp.sum(pm * ym) + smooth) / (
+            jnp.sum(pm * pm) + jnp.sum(ym * ym) + smooth
+        )
+        res = {"loss": bce + dice_l, "primary": masked_counts(logits)}
+        if mkd:
+            res["aux"] = masked_counts(aux_logits)
+        return res
+
+    return jax.jit(step)
+
+
+def counts_to_metrics(c: dict) -> tuple[float, float]:
+    inter, sp, st = float(c["inter"]), float(c["sum_pred"]), float(c["sum_true"])
+    dice = 2 * inter / (sp + st) if sp + st > 0 else 0.0
+    union = sp + st - inter
+    iou = inter / union if union > 0 else 0.0
+    return dice, iou
