@@ -34,6 +34,60 @@ IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
 IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# Fast counter-based per-pixel RNG.
+#
+# jax.random.normal (threefry) costs ~40 ms for the 3M noise values a batch
+# needs on v5e — it dominates the whole augmentation. Augmentation noise does
+# not need crypto-strength randomness, so per-pixel bits come from a SplitMix32
+# -style integer hash over (seed, flat index): 6 VPU ops per value instead of
+# 20 threefry rounds. Per-sample *parameters* (angles, flips) stay threefry.
+# ---------------------------------------------------------------------------
+
+
+def _hash_u32(x: jax.Array) -> jax.Array:
+    """SplitMix32 finalizer: well-mixed 32-bit hash (lowrey/murmur3 constants)."""
+    x = jnp.asarray(x, jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _seed_from_key(key: jax.Array) -> jax.Array:
+    """One tiny threefry draw → uint32 seed for the hash counter."""
+    return jax.random.bits(key, (), jnp.uint32)
+
+
+def fast_uniform(seed: jax.Array, shape, offset: int = 0) -> jax.Array:
+    """U[0,1) of `shape` from hashed counters (full batch, one pass).
+
+    The linear counter is built from per-axis broadcasted_iotas directly in
+    the target shape — a flat ``(n, 1)`` iota would be tiled with 128-lane
+    padding on TPU and blow up memory traffic 128× when materialized.
+    """
+    idx = jnp.zeros(shape, jnp.uint32)
+    stride = 1
+    for axis in range(len(shape) - 1, -1, -1):
+        idx = idx + jax.lax.broadcasted_iota(
+            jnp.uint32, shape, axis
+        ) * jnp.uint32(stride)
+        stride *= shape[axis]
+    mix = jnp.uint32((offset * 0x85EBCA6B) & 0xFFFFFFFF)
+    bits = _hash_u32(idx + seed * jnp.uint32(0x9E3779B9) + mix)
+    return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def fast_normal(seed: jax.Array, shape, offset: int = 0) -> jax.Array:
+    """N(0,1) via Box–Muller on two hashed-uniform streams."""
+    u1 = fast_uniform(seed, shape, offset=offset * 2 + 1)
+    u2 = fast_uniform(seed, shape, offset=offset * 2 + 2)
+    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+    return r * jnp.cos((2.0 * jnp.pi) * u2)
+
+
 def normalize(images: jax.Array) -> jax.Array:
     """norm01 (clip/255, ``create_dataset.py:25``) + ImageNet normalize."""
     x = jnp.clip(images, 0.0, 255.0) / 255.0
@@ -111,7 +165,9 @@ def _rotation_matrix(angle_deg, scale, dx, dy, h: int, w: int):
 
 
 def _ssr_single(img, mask, key):
-    """ShiftScaleRotate on one (H, W, C) image + (H, W) mask."""
+    """ShiftScaleRotate on one (H, W, C) image + (H, W) mask (reference
+    implementation, kept for geometry tests; the batched fast path is
+    ``_ssr_batch``)."""
     h, w = img.shape[0], img.shape[1]
     k1, k2, k3, k4 = jax.random.split(key, 4)
     apply = jax.random.bernoulli(k1, 0.5)
@@ -130,6 +186,102 @@ def _ssr_single(img, mask, key):
     return img_out, mask_out
 
 
+def _shift_reflect(x: jax.Array, axis: int) -> jax.Array:
+    """x shifted by +1 along axis with BORDER_REFLECT_101 at the far edge:
+    out[i] = x[i+1] for i<n-1, out[n-1] = x[n-2]."""
+    n = x.shape[axis]
+    main = jax.lax.slice_in_dim(x, 1, n, axis=axis)
+    edge = jax.lax.slice_in_dim(x, n - 2, n - 1, axis=axis)
+    return jnp.concatenate([main, edge], axis=axis)
+
+
+def _ssr_batch(images: jax.Array, masks: jax.Array, key: jax.Array):
+    """Batched ShiftScaleRotate with ONE gather.
+
+    TPU gathers are index-bound (~10 ns/index), so the naive 4-tap bilinear
+    (4 gathers) + nearest mask (1 more) costs ~50 ms/step. Instead the four
+    bilinear taps and the mask are packed into channels of reflect-shifted
+    copies — [img, img→x, img→y, img→xy, mask ×4] — and fetched with a single
+    ``take_along_axis``. In reflected border regions the +1 neighbour of a
+    folded coordinate differs from cv2's by one pixel (reflection reverses
+    direction); interior pixels are exact.
+    """
+    b, h, w, c = images.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    apply = jax.random.bernoulli(k1, 0.5, (b,))
+    angle = jnp.where(
+        apply, jax.random.uniform(k2, (b,), minval=-45.0, maxval=45.0), 0.0
+    )
+    scale = jnp.where(
+        apply, 1.0 + jax.random.uniform(k3, (b,), minval=-0.1, maxval=0.1), 1.0
+    )
+    shift = jnp.where(
+        apply[:, None],
+        jax.random.uniform(k4, (b, 2), minval=-0.0625, maxval=0.0625),
+        jnp.zeros((b, 2)),
+    )
+    a_inv, t_inv = jax.vmap(
+        lambda an, sc, dx, dy: _rotation_matrix(an, sc, dx, dy, h, w)
+    )(angle, scale, shift[:, 0], shift[:, 1])  # (B,2,2), (B,2)
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = (
+        a_inv[:, 0, 0, None, None] * xs
+        + a_inv[:, 0, 1, None, None] * ys
+        + t_inv[:, 0, None, None]
+    )  # (B,H,W)
+    sy = (
+        a_inv[:, 1, 0, None, None] * xs
+        + a_inv[:, 1, 1, None, None] * ys
+        + t_inv[:, 1, None, None]
+    )
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0i = _reflect101(x0.astype(jnp.int32), w)
+    y0i = _reflect101(y0.astype(jnp.int32), h)
+
+    # pack taps: [img, img+x, img+y, img+xy, mask, mask+x, mask+y, mask+xy]
+    img_x = _shift_reflect(images, 2)
+    img_y = _shift_reflect(images, 1)
+    img_xy = _shift_reflect(img_x, 1)
+    m = masks[..., None]
+    m_x = _shift_reflect(m, 2)
+    m_y = _shift_reflect(m, 1)
+    m_xy = _shift_reflect(m_x, 1)
+    packed = jnp.concatenate(
+        [images, img_x, img_y, img_xy, m, m_x, m_y, m_xy], axis=-1
+    )  # (B,H,W,4C+4)
+
+    flat = packed.reshape(b, h * w, 4 * c + 4)
+    idx = (y0i * w + x0i).reshape(b, h * w, 1)
+    taps = jnp.take_along_axis(flat, idx, axis=1).reshape(b, h, w, 4 * c + 4)
+
+    v00, v01 = taps[..., 0:c], taps[..., c:2 * c]
+    v10, v11 = taps[..., 2 * c:3 * c], taps[..., 3 * c:4 * c]
+    fxc = fx[..., None]
+    fyc = fy[..., None]
+    out_img = (
+        v00 * (1 - fxc) * (1 - fyc)
+        + v01 * fxc * (1 - fyc)
+        + v10 * (1 - fxc) * fyc
+        + v11 * fxc * fyc
+    )
+
+    m00, m01, m10, m11 = (taps[..., 4 * c + i] for i in range(4))
+    # nearest-neighbour mask: pick the tap the rounded coordinate lands on
+    mx = fx >= 0.5
+    my = fy >= 0.5
+    out_mask = jnp.where(
+        my,
+        jnp.where(mx, m11, m10),
+        jnp.where(mx, m01, m00),
+    )
+    return out_img, out_mask
+
+
 def augment_batch(
     key: jax.Array,
     images: jax.Array,  # (B, H, W, 3) float32, 0..255 scale
@@ -139,11 +291,11 @@ def augment_batch(
     b = images.shape[0]
     k_noise, k_napply, k_h, k_v, k_ssr, k_bc = jax.random.split(key, 6)
 
-    # GaussNoise (p=0.5, var ~ U(10, 50))
+    # GaussNoise (p=0.5, var ~ U(10, 50)); per-pixel bits from the fast hash
     var = jax.random.uniform(
         jax.random.fold_in(k_noise, 1), (b, 1, 1, 1), minval=10.0, maxval=50.0
     )
-    noise = jax.random.normal(k_noise, images.shape) * jnp.sqrt(var)
+    noise = fast_normal(_seed_from_key(k_noise), images.shape) * jnp.sqrt(var)
     apply_n = jax.random.bernoulli(k_napply, 0.5, (b, 1, 1, 1))
     images = jnp.clip(images + jnp.where(apply_n, noise, 0.0), 0.0, 255.0)
 
@@ -156,9 +308,8 @@ def augment_batch(
     masks = jnp.where(fmh, masks[:, :, ::-1], masks)
     masks = jnp.where(fmv, masks[:, ::-1], masks)
 
-    # ShiftScaleRotate (p=0.5)
-    keys = jax.random.split(k_ssr, b)
-    images, masks = jax.vmap(_ssr_single)(images, masks, keys)
+    # ShiftScaleRotate (p=0.5), single-gather batched warp
+    images, masks = _ssr_batch(images, masks, k_ssr)
 
     # RandomBrightnessContrast (p=0.5)
     kb1, kb2, kb3 = jax.random.split(k_bc, 3)

@@ -42,6 +42,7 @@ class FATEncoderDecoder(nn.Module):
     dsn: bool = False
     num_domains: int = 4
     bn_domain_stats: bool = True  # per-domain batch stats (reference parity)
+    adapter: str | None = None  # None | 'DASE' | 'USE' (base_sota_adapt.py)
     dtype: jnp.dtype = jnp.float32
 
     def _norm_spec(self) -> NormSpec:
@@ -97,6 +98,39 @@ class FATEncoderDecoder(nn.Module):
             for i in range(4)
         ]
 
+        # optional universal adapters (BASE_DASE/BASE_USE comparators,
+        # base_sota_adapt.py:346-351,524-528)
+        if self.adapter == "DASE":
+            from mdvit_tpu.models.adapters import DomainAttention
+
+            self.encoder_adapters = [
+                DomainAttention(dims[i], reduction=16, dtype=self.dtype,
+                                name=f"enc_adapter{i}") for i in range(4)
+            ]
+            self.decoder_adapters = [
+                DomainAttention(dims[3 - i], reduction=16, dtype=self.dtype,
+                                name=f"dec_adapter{i}") for i in range(4)
+            ]
+            self.bridge_adapter = None
+        elif self.adapter == "USE":
+            from mdvit_tpu.models.adapters import SEBlock
+
+            self.encoder_adapters = [
+                SEBlock(dims[i], reduction=8, dtype=self.dtype,
+                        name=f"enc_adapter{i}") for i in range(4)
+            ]
+            self.decoder_adapters = [
+                SEBlock(dims[3 - i], reduction=8, dtype=self.dtype,
+                        name=f"dec_adapter{i}") for i in range(4)
+            ]
+            self.bridge_adapter = SEBlock(dims[3] * 2, reduction=8,
+                                          dtype=self.dtype,
+                                          name="bridge_adapter")
+        else:
+            self.encoder_adapters = None
+            self.decoder_adapters = None
+            self.bridge_adapter = None
+
     def __call__(
         self,
         x: jax.Array,
@@ -117,7 +151,15 @@ class FATEncoderDecoder(nn.Module):
             t = grid_to_tokens(x)
             t = self.mhsa_stages[i](t, size, domain_onehot, train)
             x = tokens_to_grid(t, size)
-            encoder_outs.append(x)
+            if self.adapter == "DASE":
+                # DASE replaces the stream (base_sota_adapt.py:421-423)
+                x = self.encoder_adapters[i](x)
+                encoder_outs.append(x)
+            elif self.adapter == "USE":
+                # USE adapts only the skip copy (base_sota_adapt.py:598-599)
+                encoder_outs.append(self.encoder_adapters[i](x))
+            else:
+                encoder_outs.append(x)
 
         if not out_seg:
             return encoder_outs, None, None
@@ -128,11 +170,15 @@ class FATEncoderDecoder(nn.Module):
         out = self.bridge_conv2(out)
         out = self.bridge_bn2(out, domain_onehot, use_running_average=not train)
         out = jax.nn.relu(out)
+        if self.bridge_adapter is not None:
+            out = self.bridge_adapter(out)
         bridge_out = out
 
         for i in range(4):
             out = self.decoders[i](out, encoder_outs[3 - i], domain_onehot,
                                    train)
+            if self.decoder_adapters is not None:
+                out = self.decoder_adapters[i](out)
         return encoder_outs, bridge_out, out
 
 
@@ -154,6 +200,7 @@ class BASE(nn.Module):
     dsn: bool = False
     num_domains: int = 4
     bn_domain_stats: bool = True
+    adapter: str | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -171,7 +218,8 @@ class BASE(nn.Module):
             qkv_bias=self.qkv_bias, drop_rate=self.drop_rate,
             drop_path_rate=self.drop_path_rate, adapt=self.adapt,
             dsn=self.dsn, num_domains=self.num_domains,
-            bn_domain_stats=self.bn_domain_stats, dtype=self.dtype,
+            bn_domain_stats=self.bn_domain_stats, adapter=self.adapter,
+            dtype=self.dtype,
             name="core",
         )
         encoder_outs, _, dec = core(x, domain_onehot, train, out_seg)
@@ -204,3 +252,21 @@ def build_base_dsn(img_size=256, num_domains=4, adapt_method=None,
                 adapt="Sup" if adapt_method and "Sup" in str(adapt_method)
                 else None,
                 dsn=True, num_domains=num_domains, dtype=dtype, **kw)
+
+
+@register_model("BASE_DASE")
+def build_base_dase(img_size=256, num_domains=4, adapt_method=None,
+                    dtype=jnp.float32, **kw):
+    """DASE comparator (``multi_train_BASE.py:77-79``): plain BASE stages +
+    input-conditioned DomainAttention adapters; no Sup, no DSN."""
+    return BASE(img_size=img_size, drop_rate=0.1, drop_path_rate=0.1,
+                adapt=None, num_domains=num_domains, adapter="DASE",
+                dtype=dtype, **kw)
+
+
+@register_model("BASE_USE")
+def build_base_use(img_size=256, num_domains=4, adapt_method=None,
+                   dtype=jnp.float32, **kw):
+    return BASE(img_size=img_size, drop_rate=0.1, drop_path_rate=0.1,
+                adapt=None, num_domains=num_domains, adapter="USE",
+                dtype=dtype, **kw)

@@ -93,10 +93,13 @@ class ConvRelPosEnc(nn.Module):
     def __call__(
         self, q: jax.Array, v: jax.Array, size: Tuple[int, int]
     ) -> jax.Array:
+        """q, v: (B, N, C) flat token layout (channels = heads·ch, head-major
+        like the reference's ``rearrange 'B h (H W) Ch -> B (h Ch) H W'``)."""
         window = dict(self.window or DEFAULT_CRPE_WINDOW)
         assert sum(window.values()) == self.num_heads
         ch = self.ch_per_head
-        b, n, h, _ = q.shape
+        h = self.num_heads
+        b, n, _ = q.shape
         max_k = max(window)
 
         kernel_parts = []
@@ -129,8 +132,7 @@ class ConvRelPosEnc(nn.Module):
             feature_group_count=h * ch,
             precision=_ATT_PREC,
         ) + bias.astype(self.dtype)
-        conv_v = conv_v.reshape(b, n, h, ch)
-        return q * conv_v
+        return q * conv_v.reshape(b, n, h * ch)
 
 
 class FactorAtt(nn.Module):
@@ -171,22 +173,32 @@ class FactorAtt(nn.Module):
 
         qkv = dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                     name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, h, ch)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = qkv[..., 0:c]
+        k = qkv[..., c:2 * c]
+        v = qkv[..., 2 * c:3 * c]
 
-        # softmax over the token axis (this is what makes it linear attention)
+        # Flat MXU-friendly formulation: keep (B, N, C) and compute the
+        # per-head contractions as ONE full-width matmul with a block-diagonal
+        # head mask. softmax(K) over tokens is per-channel, so it is
+        # head-layout-agnostic; masking KᵀV zeroes the cross-head terms, making
+        # this bit-equivalent to the reference's per-head einsums
+        # (mpvit.py:356-360) while using the full 128-wide MXU instead of
+        # ch≤64-wide per-head matmuls (and no head transposes at all).
         k_soft = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(q.dtype)
         ktv = jnp.einsum(
-            "bnhk,bnhv->bhkv", k_soft, v, precision=_ATT_PREC,
+            "bnk,bnv->bkv", k_soft, v, precision=_ATT_PREC,
             preferred_element_type=jnp.float32,
-        ).astype(q.dtype)
+        )
+        head_ids = jnp.arange(c) // ch
+        block_mask = (head_ids[:, None] == head_ids[None, :]).astype(ktv.dtype)
+        ktv = (ktv * block_mask).astype(q.dtype)
         factor_att = jnp.einsum(
-            "bnhk,bhkv->bnhv", q, ktv, precision=_ATT_PREC,
+            "bnk,bkv->bnv", q, ktv, precision=_ATT_PREC,
             preferred_element_type=jnp.float32,
         ).astype(q.dtype)
 
         crpe = self.crpe(q, v, size)
-        out = scale * factor_att + crpe  # (B, N, h, ch)
+        out = scale * factor_att + crpe  # (B, N, C)
 
         if self.sup:
             hidden = max(self.dim // self.r, 4)
@@ -195,13 +207,11 @@ class FactorAtt(nn.Module):
             )
             gate = jax.nn.relu(gate)
             gate = dense(h * ch, dtype=self.dtype, name="domain_layer_fc2")(gate)
-            gate = gate.reshape(b, 1, h, ch)
-            gate = jax.nn.softmax(gate.astype(jnp.float32), axis=2).astype(
-                out.dtype
-            )  # softmax over heads
-            out = out * gate
+            # softmax over heads per channel-position (mdvit.py:301-303)
+            gate = gate.reshape(b, h, ch)
+            gate = jax.nn.softmax(gate.astype(jnp.float32), axis=1)
+            out = out * gate.reshape(b, 1, c).astype(out.dtype)
 
-        out = out.reshape(b, n, c)
         out = dense(c, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
         return out

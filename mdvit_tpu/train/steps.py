@@ -118,11 +118,11 @@ def make_train_step(
             onehot = jax.lax.with_sharding_constraint(onehot, data_sharding)
 
         def loss_fn(params):
+            kwargs = {"aux_mode": "grouped"} if mkd else {}
             out, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                x, onehot, train=True, aux_mode="grouped" if mkd else "none",
-                mutable=["batch_stats"],
-                rngs={"dropout": drop_rng},
+                x, onehot, train=True, mutable=["batch_stats"],
+                rngs={"dropout": drop_rng}, **kwargs,
             )
             seg_out = out["seg"]
             if isinstance(seg_out, tuple):
@@ -194,10 +194,10 @@ def make_eval_step(model, mkd: bool = True) -> Callable:
 
     def step(params, batch_stats, images, masks, onehot, valid):
         x, y = eval_transform(images, masks)
+        kwargs = {"aux_mode": "select"} if mkd else {}
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            x, onehot, train=False,
-            aux_mode="select" if mkd else "none",
+            x, onehot, train=False, **kwargs,
         )
         seg_out = out["seg"]
         if isinstance(seg_out, tuple):
