@@ -159,11 +159,26 @@ def load_domain_arrays(
         n = len(df)
         images = np.empty((n, img_size, img_size, 3), np.uint8)
         masks = np.empty((n, img_size, img_size), np.uint8)
-        ids = []
-        for i, row in enumerate(df.itertuples()):
-            sid = str(row.ID)
-            img = np.load(os.path.join(data_path, "Image", f"{sid}.npy"))
-            lbl = np.load(os.path.join(data_path, "Label", f"{sid}.npy"))
+        ids = [str(row.ID) for row in df.itertuples()]
+        img_paths = [os.path.join(data_path, "Image", f"{s}.npy") for s in ids]
+        lbl_paths = [os.path.join(data_path, "Label", f"{s}.npy") for s in ids]
+
+        # fast path: whole-split load through the C++ threaded npy reader
+        # (csrc/npy_loader.cpp) when the corpus is uniform uint8
+        raw_imgs = raw_lbls = None
+        if n > 0:
+            probe = np.load(img_paths[0])
+            if probe.dtype == np.uint8:
+                from mdvit_tpu.data.native_loader import batch_load_u8
+
+                raw_imgs = batch_load_u8(img_paths, probe.shape)
+                probe_l = np.load(lbl_paths[0])
+                if probe_l.dtype == np.uint8:
+                    raw_lbls = batch_load_u8(lbl_paths, probe_l.shape)
+
+        for i in range(n):
+            img = raw_imgs[i] if raw_imgs is not None else np.load(img_paths[i])
+            lbl = raw_lbls[i] if raw_lbls is not None else np.load(lbl_paths[i])
             lbl = (lbl > 0.5).astype(np.uint8)
             img = np.clip(
                 _resize_bilinear_np(img.astype(np.uint8), img_size), 0, 255
@@ -171,7 +186,6 @@ def load_domain_arrays(
             lbl = _resize_nearest_np(lbl, img_size)
             images[i] = img
             masks[i] = lbl
-            ids.append(sid)
         out[split] = DomainArrays(
             name=dataset_name,
             domain_id=dataset_indices.get(dataset_name, 0),

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from mdvit_tpu.ops.layers import (
     DropPath,
+    FastDropout,
     Mlp,
     NormSpec,
     conv2d,
@@ -179,26 +180,17 @@ class FactorAtt(nn.Module):
 
         # Flat MXU-friendly formulation: keep (B, N, C) and compute the
         # per-head contractions as ONE full-width matmul with a block-diagonal
-        # head mask. softmax(K) over tokens is per-channel, so it is
-        # head-layout-agnostic; masking KᵀV zeroes the cross-head terms, making
-        # this bit-equivalent to the reference's per-head einsums
-        # (mpvit.py:356-360) while using the full 128-wide MXU instead of
-        # ch≤64-wide per-head matmuls (and no head transposes at all).
-        k_soft = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(q.dtype)
-        ktv = jnp.einsum(
-            "bnk,bnv->bkv", k_soft, v, precision=_ATT_PREC,
-            preferred_element_type=jnp.float32,
+        # head mask — bit-equivalent to the reference's per-head einsums
+        # (mpvit.py:356-360) with no head transposes. Dispatches to either the
+        # XLA-fused chain or the Pallas kernel (ops/pallas_attention.py).
+        from mdvit_tpu.ops.pallas_attention import dispatch_factorized_attention
+
+        factor_att = dispatch_factorized_attention(q, k, v, ch, scale).astype(
+            q.dtype
         )
-        head_ids = jnp.arange(c) // ch
-        block_mask = (head_ids[:, None] == head_ids[None, :]).astype(ktv.dtype)
-        ktv = (ktv * block_mask).astype(q.dtype)
-        factor_att = jnp.einsum(
-            "bnk,bkv->bnv", q, ktv, precision=_ATT_PREC,
-            preferred_element_type=jnp.float32,
-        ).astype(q.dtype)
 
         crpe = self.crpe(q, v, size)
-        out = scale * factor_att + crpe  # (B, N, C)
+        out = factor_att + crpe  # (B, N, C); scale folded into the kernel
 
         if self.sup:
             hidden = max(self.dim // self.r, 4)
@@ -213,7 +205,7 @@ class FactorAtt(nn.Module):
             out = out * gate.reshape(b, 1, c).astype(out.dtype)
 
         out = dense(c, dtype=self.dtype, name="proj")(out)
-        out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        out = FastDropout(self.proj_drop, name="proj_drop")(out, train)
         return out
 
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mdvit_tpu.models.registry import register_model
-from mdvit_tpu.ops.layers import NormSpec, conv2d, make_bn
+from mdvit_tpu.ops.layers import FastDropout, NormSpec, conv2d, make_bn
 from mdvit_tpu.ops.resize import resize_bilinear_align_corners
 
 
@@ -146,12 +146,12 @@ class LinearAttention(nn.Module):
                 heads, rs, dtype=self.dtype, name="rel_pos")(h, w)[None]
         attn = attn * (dim_head ** -0.5)
         attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        attn = FastDropout(self.attn_drop, name="attn_drop")(attn, train)
         out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.transpose(0, 2, 3, 1).reshape(b, h, w, inner)
         out = DWSepConv(self.dim, dtype=self.dtype, name="to_out")(out)
-        return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return FastDropout(self.proj_drop, name="proj_drop")(out, train)
 
 
 class LinearAttentionDecoder(nn.Module):
@@ -189,13 +189,13 @@ class LinearAttentionDecoder(nn.Module):
                 heads, rs, dtype=self.dtype, name="rel_pos")(hh, wh)[None]
         attn = attn * (dim_head ** -0.5)
         attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        attn = FastDropout(self.attn_drop, name="attn_drop")(attn, train)
         out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
                          preferred_element_type=jnp.float32).astype(
             q_feat.dtype)
         out = out.transpose(0, 2, 3, 1).reshape(b, hh, wh, inner)
         out = DWSepConv(self.out_dim, dtype=self.dtype, name="to_out")(out)
-        return nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        return FastDropout(self.proj_drop, name="proj_drop")(out, train)
 
 
 class BasicTransBlock(nn.Module):

@@ -206,6 +206,29 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+class FastDropout(nn.Module):
+    """Element dropout with counter-based hash bits.
+
+    threefry mask generation dominates the whole forward on TPU (~22 ms of a
+    25 ms stage for the big (B,N,8C) MLP masks); one tiny threefry draw seeds
+    a SplitMix32 hash over element counters instead (see data/augment.py),
+    preserving determinism w.r.t. the 'dropout' rng stream.
+    """
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.rate == 0.0 or not train:
+            return x
+        from mdvit_tpu.data.augment import fast_uniform
+
+        keep = 1.0 - self.rate
+        seed = jax.random.bits(self.make_rng("dropout"), (), jnp.uint32)
+        u = fast_uniform(seed, x.shape)
+        return jnp.where(u < keep, x / keep, jnp.zeros_like(x))
+
+
 class Dropout2d(nn.Module):
     """Channel dropout over NHWC: zeroes whole channels per sample
     (torch ``nn.Dropout2d`` parity)."""
@@ -238,7 +261,7 @@ class Mlp(nn.Module):
         out_f = self.out_features or x.shape[-1]
         x = dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
         x = get_act(self.act)(x)
-        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        x = FastDropout(self.drop, name="drop1")(x, train)
         x = dense(out_f, dtype=self.dtype, name="fc2")(x)
-        x = nn.Dropout(self.drop, deterministic=not train)(x)
+        x = FastDropout(self.drop, name="drop2")(x, train)
         return x
