@@ -34,7 +34,7 @@ from flax import struct
 
 from mdvit_tpu.data.augment import augment_batch, eval_transform
 from mdvit_tpu.data.loader import gather_batch
-from mdvit_tpu.train.losses import bce_with_logits, dice_loss
+from mdvit_tpu.train.losses import bce_with_logits, dice_loss, structure_loss
 
 
 class TrainState(struct.PyTreeNode):
@@ -125,6 +125,41 @@ def make_train_step(
                 rngs={"dropout": drop_rng}, **kwargs,
             )
             seg_out = out["seg"]
+            if isinstance(seg_out, tuple) and len(seg_out) == 3:
+                # TransFuse deep supervision: 0.5·L(map_2)+0.3·L(map_1)+
+                # 0.2·L(map_x), structure_loss per domain, summed over domains
+                # (multi_train_TransFuse.py:164-172)
+                map_x, map_1, map_2 = seg_out
+
+                def group(a):
+                    return a.reshape((num_domains, -1) + a.shape[1:])
+
+                def dom_loss(mx, m1, m2, yy):
+                    return (0.5 * structure_loss(m2, yy)
+                            + 0.3 * structure_loss(m1, yy)
+                            + 0.2 * structure_loss(mx, yy))
+
+                losses_d = jax.vmap(dom_loss)(
+                    group(map_x), group(map_1), group(map_2), group(y))
+                probs = jax.nn.sigmoid(group(map_2).astype(jnp.float32))
+
+                def dom_metrics(p, yy):
+                    pred = (p > 0.5).astype(jnp.float32)
+                    inter = jnp.sum(pred * yy)
+                    sp, st = jnp.sum(pred), jnp.sum(yy)
+                    dice = jnp.where(sp + st > 0,
+                                     2 * inter / jnp.maximum(sp + st, 1), 0.0)
+                    iou = jnp.where(sp + st - inter > 0,
+                                    inter / jnp.maximum(sp + st - inter, 1),
+                                    0.0)
+                    return dice, iou
+
+                dice_d, iou_d = jax.vmap(dom_metrics)(probs, group(y))
+                multi = jnp.sum(losses_d)
+                metrics = {"loss": multi, "dice_per_domain": dice_d,
+                           "iou_per_domain": iou_d}
+                return (jnp.zeros(()), multi), (updates["batch_stats"],
+                                                metrics)
             if isinstance(seg_out, tuple):
                 logits, aux_logits = seg_out
             else:
@@ -200,7 +235,10 @@ def make_eval_step(model, mkd: bool = True) -> Callable:
             x, onehot, train=False, **kwargs,
         )
         seg_out = out["seg"]
-        if isinstance(seg_out, tuple):
+        if isinstance(seg_out, tuple) and len(seg_out) == 3:
+            # TransFuse eval uses map_2 only (multi_train_TransFuse.py:240-243)
+            logits, aux_logits = seg_out[2], None
+        elif isinstance(seg_out, tuple):
             logits, aux_logits = seg_out
         else:
             logits, aux_logits = seg_out, None

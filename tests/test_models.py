@@ -2,7 +2,8 @@
 
 These mirror the reference's ``__main__`` smoke blocks (``mdvit.py:963-995``,
 ``base.py:702-729``) which are its de-facto unit tests: output shapes, aux
-branch shapes, feature shapes, and param accounting.
+branch shapes, feature shapes, and param accounting. All applies are jitted
+and share module-scope inits (eager JAX on this 1-core host is minutes/test).
 """
 import jax
 import jax.numpy as jnp
@@ -19,52 +20,63 @@ TINY = dict(
     mlp_ratios=(2, 2, 2, 2),
     num_heads=(8, 8, 8, 8),
 )
-
-
-def _rngs():
-    return {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+RNGS = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
 
 
 def _onehot_grouped(d, b_per):
     return jnp.asarray(np.eye(d, dtype=np.float32).repeat(b_per, axis=0))
 
 
-@pytest.mark.parametrize("adapt,dsn", [("Sup", False), (None, False), ("Sup", True)])
-def test_base_shapes(adapt, dsn):
-    m = BASE(adapt=adapt, dsn=dsn, num_domains=4, **TINY)
-    x = jnp.zeros((8, 32, 32, 3))
+@pytest.fixture(scope="module")
+def mdvit_bundle():
+    m = MDViT(adapt="Sup", num_domains=4, **TINY)
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 32, 32, 3))
     oh = _onehot_grouped(4, 2)
-    v = m.init(_rngs(), x, oh, train=False)
-    out = m.apply(v, x, oh, train=False)
-    assert out["seg"].shape == (8, 32, 32, 1)
-    assert out["feat"].shape == (8, 24)
-    # feature-extraction mode (out_seg=False)
-    out2 = m.apply(v, x, oh, train=False, out_seg=False)
-    assert out2["seg"] is None and out2["feat"].shape == (8, 24)
+    v = jax.jit(
+        lambda: m.init(RNGS, x, oh, train=False, aux_mode="grouped")
+    )()
+    return m, v, x, oh
 
 
-@pytest.mark.parametrize("decoder_name", ["MLPFM", "MLP", "DeepLabV3", "Transformer"])
-def test_mdvit_shapes_all_debranches(decoder_name):
+def test_base_shapes():
+    m = BASE(adapt="Sup", num_domains=4, **TINY)
+    x = jnp.zeros((4, 32, 32, 3))
+    oh = _onehot_grouped(4, 1)
+    v = jax.jit(lambda: m.init(RNGS, x, oh, train=False))()
+    out = jax.jit(lambda v: m.apply(v, x, oh, train=False))(v)
+    assert out["seg"].shape == (4, 32, 32, 1)
+    assert out["feat"].shape == (4, 24)
+    out2 = jax.jit(lambda v: m.apply(v, x, oh, train=False, out_seg=False))(v)
+    assert out2["seg"] is None and out2["feat"].shape == (4, 24)
+
+
+@pytest.mark.parametrize("decoder_name", ["MLP", "DeepLabV3", "Transformer"])
+def test_mdvit_shapes_other_debranches(decoder_name):
     m = MDViT(adapt="Sup", num_domains=4, decoder_name=decoder_name, **TINY)
     x = jnp.zeros((4, 32, 32, 3))
     oh = _onehot_grouped(4, 1)
-    v = m.init(_rngs(), x, oh, train=False)
-    out = m.apply(v, x, oh, train=False)
+    v = jax.jit(
+        lambda: m.init(RNGS, x, oh, train=False, aux_mode="grouped")
+    )()
+    out = jax.jit(
+        lambda v: m.apply(v, x, oh, train=False, aux_mode="grouped")
+    )(v)
     logits, aux = out["seg"]
     assert logits.shape == (4, 32, 32, 1)
     assert aux.shape == (4, 32, 32, 1)
 
 
-def test_mdvit_train_mode_updates_stats():
-    m = MDViT(adapt="Sup", num_domains=4, **TINY)
-    x = jnp.ones((4, 32, 32, 3))
-    oh = _onehot_grouped(4, 1)
-    v = m.init(_rngs(), x, oh, train=False)
-    out, upd = m.apply(
-        v, x, oh, train=True, mutable=["batch_stats"],
-        rngs={"dropout": jax.random.PRNGKey(2)},
-    )
-    # batch stats must actually change for ones-input (mean != 0)
+def test_mdvit_mlpfm_shapes_and_train_stats(mdvit_bundle):
+    m, v, x, oh = mdvit_bundle
+    out, upd = jax.jit(
+        lambda v: m.apply(
+            v, x, oh, train=True, aux_mode="grouped",
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+    )(v)
+    logits, aux = out["seg"]
+    assert logits.shape == (8, 32, 32, 1)
+    assert aux.shape == (8, 32, 32, 1)
     old = jax.tree_util.tree_leaves(v["batch_stats"])
     new = jax.tree_util.tree_leaves(upd["batch_stats"])
     assert any(
@@ -72,56 +84,48 @@ def test_mdvit_train_mode_updates_stats():
     )
 
 
-def test_mdvit_grouped_equals_select_in_eval():
-    """For a domain-contiguous batch in eval mode, routing via the grouped
-    reshape and via one-hot selection must agree exactly — this pins the
-    per-domain debranch dispatch against the reference's explicit
-    ``if d=='0': debranch1...`` (``mdvit.py:714-724``)."""
-    m = MDViT(adapt="Sup", num_domains=4, **TINY)
-    x = jax.random.normal(jax.random.PRNGKey(3), (8, 32, 32, 3))
-    oh = _onehot_grouped(4, 2)
-    v = m.init(_rngs(), x, oh, train=False)
-    out_g = m.apply(v, x, oh, train=False, aux_mode="grouped")
-    out_s = m.apply(v, x, oh, train=False, aux_mode="select")
+def test_mdvit_grouped_equals_select_in_eval(mdvit_bundle):
+    """For a domain-contiguous batch in eval mode, grouped-reshape routing and
+    one-hot selection must agree — pins the per-domain debranch dispatch
+    against the reference's ``if d=='0': debranch1...`` (mdvit.py:714-724)."""
+    m, v, x, oh = mdvit_bundle
+    out_g = jax.jit(
+        lambda v: m.apply(v, x, oh, train=False, aux_mode="grouped"))(v)
+    out_s = jax.jit(
+        lambda v: m.apply(v, x, oh, train=False, aux_mode="select"))(v)
     np.testing.assert_allclose(
         np.asarray(out_g["seg"][1]), np.asarray(out_s["seg"][1]),
         rtol=1e-5, atol=1e-5,
     )
 
 
-def test_mdvit_debranches_are_distinct():
-    """Different domains must route through different debranch params."""
-    m = MDViT(adapt="Sup", num_domains=4, **TINY)
-    x = jnp.tile(jax.random.normal(jax.random.PRNGKey(4), (1, 32, 32, 3)), (4, 1, 1, 1))
+def test_mdvit_debranches_are_distinct(mdvit_bundle):
+    """Same image through 4 domains → 4 different aux maps."""
+    m, v, _, _ = mdvit_bundle
+    x = jnp.tile(
+        jax.random.normal(jax.random.PRNGKey(4), (1, 32, 32, 3)), (4, 1, 1, 1))
     oh = _onehot_grouped(4, 1)
-    v = m.init(_rngs(), x, oh, train=False)
-    aux = np.asarray(m.apply(v, x, oh, train=False, aux_mode="select")["seg"][1])
-    # same image, 4 different domains → 4 different aux maps
+    aux = np.asarray(
+        jax.jit(lambda v: m.apply(v, x, oh, train=False,
+                                  aux_mode="select"))(v)["seg"][1])
     assert not np.allclose(aux[0], aux[1])
     assert not np.allclose(aux[1], aux[2])
 
 
-def test_sup_gate_sensitivity():
-    """With adapt='Sup' the primary output must depend on the domain label
-    (the gate sits inside every attention block)."""
+def test_sup_gate_and_dsn_domain_sensitivity():
+    """Sup gate: primary output depends on the domain one-hot. DSN: per-domain
+    norms route differently once their params differ."""
     m = BASE(adapt="Sup", num_domains=4, **TINY)
     x = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 3))
     oh_a = jnp.asarray(np.eye(4, dtype=np.float32)[[0, 0]])
     oh_b = jnp.asarray(np.eye(4, dtype=np.float32)[[3, 3]])
-    v = m.init(_rngs(), x, oh_a, train=False)
-    out_a = np.asarray(m.apply(v, x, oh_a, train=False)["seg"])
-    out_b = np.asarray(m.apply(v, x, oh_b, train=False)["seg"])
-    assert not np.allclose(out_a, out_b)
+    v = jax.jit(lambda: m.init(RNGS, x, oh_a, train=False))()
+    f = jax.jit(lambda v, oh: m.apply(v, x, oh, train=False)["seg"])
+    assert not np.allclose(np.asarray(f(v, oh_a)), np.asarray(f(v, oh_b)))
 
-
-def test_dsn_norms_are_domain_sensitive():
-    m = BASE(adapt=None, dsn=True, num_domains=4, **TINY)
-    x = jax.random.normal(jax.random.PRNGKey(6), (2, 32, 32, 3))
-    oh_a = jnp.asarray(np.eye(4, dtype=np.float32)[[1, 1]])
-    oh_b = jnp.asarray(np.eye(4, dtype=np.float32)[[2, 2]])
-    v = m.init(_rngs(), x, oh_a, train=False)
-    # perturb domain-2 LN params so domains actually differ at init
-    params = jax.tree_util.tree_map(lambda p: p, v["params"])
+    m2 = BASE(adapt=None, dsn=True, num_domains=4, **TINY)
+    v2 = jax.jit(lambda: m2.init(RNGS, x, oh_a, train=False))()
+    params = jax.tree_util.tree_map(lambda p: p, v2["params"])
 
     def bump(tree):
         for k, sub in tree.items():
@@ -131,6 +135,10 @@ def test_dsn_norms_are_domain_sensitive():
                 tree[k] = sub.at[2].mul(1.5)
 
     bump(params)
-    out_a = np.asarray(m.apply({"params": params, "batch_stats": v["batch_stats"]}, x, oh_a, train=False)["seg"])
-    out_b = np.asarray(m.apply({"params": params, "batch_stats": v["batch_stats"]}, x, oh_b, train=False)["seg"])
-    assert not np.allclose(out_a, out_b)
+    f2 = jax.jit(
+        lambda oh: m2.apply(
+            {"params": params, "batch_stats": v2["batch_stats"]},
+            x, oh, train=False)["seg"])
+    oh_c = jnp.asarray(np.eye(4, dtype=np.float32)[[1, 1]])
+    oh_d = jnp.asarray(np.eye(4, dtype=np.float32)[[2, 2]])
+    assert not np.allclose(np.asarray(f2(oh_c)), np.asarray(f2(oh_d)))
