@@ -229,8 +229,10 @@ class BASE(nn.Module):
         from mdvit_tpu.ops.resize import resize_bilinear
 
         img_size = (x.shape[1], x.shape[2])
-        up = resize_bilinear(dec, img_size)
-        logits = conv2d(1, 1, 1, 0, dtype=self.dtype, name="finalconv")(up)
+        # 1×1 finalconv commutes with the bilinear upsample (reference
+        # upsamples first, base.py:505-507) — conv at H/4 then resize 1 channel
+        logits = conv2d(1, 1, 1, 0, dtype=self.dtype, name="finalconv")(dec)
+        logits = resize_bilinear(logits, img_size)
         return {"seg": logits, "feat": feat}
 
 

@@ -51,9 +51,13 @@ class UnetDecodingBlockTransformer(nn.Module):
         train: bool = False,
     ) -> jax.Array:
         skip_size = (skip.shape[1], skip.shape[2])
-        out = resize_bilinear(x, skip_size)
+        # 1×1 conv and bilinear resize are both linear and commute exactly;
+        # convolving BEFORE the ×2 upsample (reference order: Decoders.py:144-
+        # 145 resizes first) quarters the conv's pixel count and halves HBM
+        # traffic at identical math.
         out = conv2d(self.out_channels, 1, 1, 0, dtype=self.dtype,
-                     name="conv_before")(out)
+                     name="conv_before")(x)
+        out = resize_bilinear(out, skip_size)
         out = jnp.concatenate([skip, out], axis=-1)  # skip first (parity)
         out = DWConvBN(
             features=self.out_channels, kernel_size=3, dw_groups_on="out",
@@ -103,10 +107,11 @@ class MLPDecoder(nn.Module):
                                       use_running_average=not train)
         out = jax.nn.relu(out)
         out = Dropout2d(self.dropout_ratio, name="dropout")(out, train)
-        out = resize_bilinear(out, self.img_size)
+        # linear_out (1×1) commutes with the bilinear upsample; applying it at
+        # H/4 resizes 1 channel instead of `hidden_channel`
         out = conv2d(self.out_channel, 1, 1, 0, dtype=self.dtype,
                      name="linear_out")(out)
-        return out
+        return resize_bilinear(out, self.img_size)
 
 
 class MLPDecoderFM(nn.Module):
@@ -143,10 +148,9 @@ class MLPDecoderFM(nn.Module):
                                       use_running_average=not train)
         out = jax.nn.relu(out)
         out = Dropout2d(self.dropout_ratio, name="dropout")(out, train)
-        out = resize_bilinear(out, self.img_size)
         out = conv2d(self.out_channel, 1, 1, 0, dtype=self.dtype,
-                     name="linear_out")(out)
-        return out
+                     name="linear_out")(out)  # commutes with resize (1×1)
+        return resize_bilinear(out, self.img_size)
 
 
 class ASPP(nn.Module):

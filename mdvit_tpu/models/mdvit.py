@@ -69,8 +69,8 @@ class TransformerDebranch(nn.Module):
                 out_channels=dims[3 - i], mhsa=stage, norm=spec,
                 dtype=self.dtype, name=f"decoder{i + 1}",
             )(out, encoder_outs[3 - i], None, train)
-        out = resize_bilinear(out, (self.img_size, self.img_size))
-        return conv2d(1, 1, 1, 0, dtype=self.dtype, name="finalconv")(out)
+        out = conv2d(1, 1, 1, 0, dtype=self.dtype, name="finalconv")(out)
+        return resize_bilinear(out, (self.img_size, self.img_size))
 
 
 class MDViT(nn.Module):
@@ -142,8 +142,9 @@ class MDViT(nn.Module):
             return {"seg": None, "feat": feat}
 
         img_size = (x.shape[1], x.shape[2])
-        up = resize_bilinear(dec, img_size)
-        logits = conv2d(1, 1, 1, 0, dtype=self.dtype, name="finalconv")(up)
+        # 1×1 finalconv commutes with the upsample — conv at H/4, resize 1ch
+        logits = conv2d(1, 1, 1, 0, dtype=self.dtype, name="finalconv")(dec)
+        logits = resize_bilinear(logits, img_size)
 
         # ------- MKD auxiliary debranch (stacked over domains) -------
         if self.decoder_name == "Transformer":
