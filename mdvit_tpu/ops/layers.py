@@ -168,6 +168,35 @@ class DWConvBN(nn.Module):
                 self.features, 1, 1, 0, use_bias=False, dtype=self.dtype,
                 name="pwconv",
             )(x)
+        elif in_ch == 2 * self.features:
+            # reference decoder wiring: Conv2d(2C→C, groups=C) — each output
+            # channel sees input channels (2g, 2g+1). XLA lowers 2-ch-grouped
+            # convs poorly; decompose into two TRUE depthwise convs over the
+            # even/odd channel interleave and add (mathematically identical).
+            k = self.kernel_size
+            w = self.param(
+                "dwconv_kernel",
+                conv_kaiming_fanout(self.features),
+                (k, k, 2, self.features),
+            )
+            pad = (k - 1) // 2
+            x_even = x[..., 0::2]
+            x_odd = x[..., 1::2]
+
+            def dw(inp, kern):
+                return jax.lax.conv_general_dilated(
+                    inp.astype(self.dtype), kern.astype(self.dtype),
+                    (self.stride, self.stride),
+                    ((pad, pad), (pad, pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=self.features,
+                )
+
+            x = dw(x_even, w[:, :, 0:1]) + dw(x_odd, w[:, :, 1:2])
+            x = conv2d(
+                self.features, 1, 1, 0, use_bias=False, dtype=self.dtype,
+                name="pwconv",
+            )(x)
         else:
             x = conv2d(
                 self.features,

@@ -204,8 +204,9 @@ def test_dwconvbn_out_grouping_matches_torch(rng):
     xj = jnp.asarray(x.transpose(0, 2, 3, 1))
     variables = mod.init(jax.random.PRNGKey(0), xj, train=True)
     params = dict(variables["params"])
-    params["dwconv"] = {"kernel": jnp.asarray(
-        tdw.weight.detach().numpy().transpose(2, 3, 1, 0))}
+    # torch grouped (C_out, 2, k, k) → decomposed depthwise (k, k, 2, C_out)
+    params["dwconv_kernel"] = jnp.asarray(
+        tdw.weight.detach().numpy().transpose(2, 3, 1, 0))
     params["pwconv"] = {"kernel": jnp.asarray(
         tpw.weight.detach().numpy().transpose(2, 3, 1, 0))}
     got, _ = mod.apply(
