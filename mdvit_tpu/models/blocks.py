@@ -23,7 +23,7 @@ Tokens are ``(B, N, C)`` with a static ``size=(H, W)`` grid; heads layout is
 """
 from __future__ import annotations
 
-from typing import Mapping, Tuple
+from typing import Mapping, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -279,6 +279,7 @@ class MHSAStage(nn.Module):
     qkv_bias: bool = True
     drop: float = 0.0
     drop_path: float = 0.0
+    drop_path_list: Sequence[float] | None = None  # per-block override
     sup: bool = False
     dsn: bool = False
     num_domains: int = 4
@@ -300,7 +301,10 @@ class MHSAStage(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias,
                 drop=self.drop,
-                drop_path=self.drop_path,
+                drop_path=(
+                    self.drop_path_list[i]
+                    if self.drop_path_list is not None else self.drop_path
+                ),
                 sup=self.sup,
                 dsn=self.dsn,
                 num_domains=self.num_domains,

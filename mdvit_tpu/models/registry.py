@@ -23,14 +23,12 @@ def get_model(name: str, **kwargs):
         # import model modules lazily so registration side effects run
         import mdvit_tpu.models.mdvit  # noqa: F401
         import mdvit_tpu.models.base  # noqa: F401
-        try:
-            import mdvit_tpu.models.swin_unet  # noqa: F401
-            import mdvit_tpu.models.utnet  # noqa: F401
-            import mdvit_tpu.models.transfuse  # noqa: F401
-            import mdvit_tpu.models.swin_unetr  # noqa: F401
-            import mdvit_tpu.models.base_adapters  # noqa: F401
-        except ImportError:
-            pass
+        import mdvit_tpu.models.swin_unet  # noqa: F401
+        import mdvit_tpu.models.utnet  # noqa: F401
+        import mdvit_tpu.models.transfuse  # noqa: F401
+        import mdvit_tpu.models.swin_unetr  # noqa: F401
+        import mdvit_tpu.models.mpvit  # noqa: F401
+        import mdvit_tpu.models.coat  # noqa: F401
     if name not in _REGISTRY:
         raise KeyError(f"unknown model {name!r}; have {sorted(_REGISTRY)}")
     return _REGISTRY[name](**kwargs)
