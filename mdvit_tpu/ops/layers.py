@@ -55,6 +55,13 @@ def get_act(name: str | None) -> Callable[[jax.Array], jax.Array]:
     }[name]
 
 
+# NOTE(perf): a shift-and-add depthwise conv (k² fused multiply-adds) was
+# benchmarked as an alternative to XLA's depthwise lowering and LOST
+# (280 → 258 img/s on the full train step) — XLA's true-depthwise convs are
+# already well lowered on v5e; only the 2-input-channel grouped case needed
+# the even/odd decomposition below.
+
+
 def conv2d(
     features: int,
     kernel_size: int | Sequence[int],
