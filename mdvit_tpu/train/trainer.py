@@ -215,15 +215,23 @@ class Trainer:
             loss_sum = dice_sum = iou_sum = 0.0
             aux_dice_sum = aux_iou_sum = 0.0
             num = 0
+            onehot = np.zeros((eval_bs, self.num_domains), np.float32)
+            onehot[:, di] = 1.0
+            onehot = jnp.asarray(onehot)
+            # dispatch every batch asynchronously; ONE host sync per dataset
+            # (a per-batch device_get costs a tunnel round-trip each — at
+            # ~200 eval batches/epoch that would dwarf the train step)
+            pending = []
             for imgs, msks, valid in eval_batches(dom, eval_bs):
-                onehot = np.zeros((eval_bs, self.num_domains), np.float32)
-                onehot[:, di] = 1.0
                 out = self.eval_step(
                     self.state.params, self.state.batch_stats,
                     jnp.asarray(imgs), jnp.asarray(msks),
-                    jnp.asarray(onehot), jnp.asarray(valid, jnp.int32),
+                    onehot, jnp.asarray(valid, jnp.int32),
                 )
-                out = jax.device_get(out)
+                pending.append((out, valid))
+                if self.config.debug:
+                    break
+            for out, valid in jax.device_get(pending):
                 dice, iou = counts_to_metrics(out["primary"])
                 loss_sum += float(out["loss"]) * valid
                 dice_sum += dice * valid
@@ -233,8 +241,6 @@ class Trainer:
                     aux_dice_sum += adice * valid
                     aux_iou_sum += aiou * valid
                 num += valid
-                if self.config.debug:
-                    break
             results[n] = {
                 "loss": loss_sum / num,
                 "dice": dice_sum / num,
