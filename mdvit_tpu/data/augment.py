@@ -116,8 +116,10 @@ def _affine_sample(
     sy = a_inv[1, 0] * xs + a_inv[1, 1] * ys + t_inv[1]
 
     if nearest:
-        ix = _reflect101(jnp.round(sx).astype(jnp.int32), w)
-        iy = _reflect101(jnp.round(sy).astype(jnp.int32), h)
+        # half-up rounding (cv2's fixed-point nearest), not jnp.round's
+        # half-to-even — keeps exact-half coords consistent with _ssr_apply
+        ix = _reflect101(jnp.floor(sx + 0.5).astype(jnp.int32), w)
+        iy = _reflect101(jnp.floor(sy + 0.5).astype(jnp.int32), h)
         return img[iy, ix]
 
     x0 = jnp.floor(sx)
@@ -195,8 +197,9 @@ def _shift_reflect(x: jax.Array, axis: int) -> jax.Array:
     return jnp.concatenate([main, edge], axis=axis)
 
 
-def _ssr_batch(images: jax.Array, masks: jax.Array, key: jax.Array):
-    """Batched ShiftScaleRotate with ONE gather.
+def _ssr_apply(images: jax.Array, masks: jax.Array, angle: jax.Array,
+               scale: jax.Array, shift: jax.Array):
+    """Deterministic batched ShiftScaleRotate warp with ONE gather.
 
     TPU gathers are index-bound (~10 ns/index), so the naive 4-tap bilinear
     (4 gathers) + nearest mask (1 more) costs ~50 ms/step. Instead the four
@@ -204,22 +207,12 @@ def _ssr_batch(images: jax.Array, masks: jax.Array, key: jax.Array):
     copies — [img, img→x, img→y, img→xy, mask ×4] — and fetched with a single
     ``take_along_axis``. In reflected border regions the +1 neighbour of a
     folded coordinate differs from cv2's by one pixel (reflection reverses
-    direction); interior pixels are exact.
+    direction); interior pixels are exact (pinned vs ``_ssr_single`` by
+    ``tests/test_augment.py``).
+
+    ``angle (B,)`` degrees, ``scale (B,)``, ``shift (B, 2)`` fractional.
     """
     b, h, w, c = images.shape
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    apply = jax.random.bernoulli(k1, 0.5, (b,))
-    angle = jnp.where(
-        apply, jax.random.uniform(k2, (b,), minval=-45.0, maxval=45.0), 0.0
-    )
-    scale = jnp.where(
-        apply, 1.0 + jax.random.uniform(k3, (b,), minval=-0.1, maxval=0.1), 1.0
-    )
-    shift = jnp.where(
-        apply[:, None],
-        jax.random.uniform(k4, (b, 2), minval=-0.0625, maxval=0.0625),
-        jnp.zeros((b, 2)),
-    )
     a_inv, t_inv = jax.vmap(
         lambda an, sc, dx, dy: _rotation_matrix(an, sc, dx, dy, h, w)
     )(angle, scale, shift[:, 0], shift[:, 1])  # (B,2,2), (B,2)
@@ -280,6 +273,26 @@ def _ssr_batch(images: jax.Array, masks: jax.Array, key: jax.Array):
         jnp.where(mx, m01, m00),
     )
     return out_img, out_mask
+
+
+def _ssr_batch(images: jax.Array, masks: jax.Array, key: jax.Array):
+    """ShiftScaleRotate (p=0.5, albumentations 1.1 default ranges) on a
+    batch: sample per-sample params, then the single-gather warp."""
+    b = images.shape[0]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    apply = jax.random.bernoulli(k1, 0.5, (b,))
+    angle = jnp.where(
+        apply, jax.random.uniform(k2, (b,), minval=-45.0, maxval=45.0), 0.0
+    )
+    scale = jnp.where(
+        apply, 1.0 + jax.random.uniform(k3, (b,), minval=-0.1, maxval=0.1), 1.0
+    )
+    shift = jnp.where(
+        apply[:, None],
+        jax.random.uniform(k4, (b, 2), minval=-0.0625, maxval=0.0625),
+        jnp.zeros((b, 2)),
+    )
+    return _ssr_apply(images, masks, angle, scale, shift)
 
 
 def augment_batch(

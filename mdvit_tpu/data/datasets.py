@@ -180,8 +180,11 @@ def load_domain_arrays(
             img = raw_imgs[i] if raw_imgs is not None else np.load(img_paths[i])
             lbl = raw_lbls[i] if raw_lbls is not None else np.load(lbl_paths[i])
             lbl = (lbl > 0.5).astype(np.uint8)
+            # resize in the source dtype: float-stored corpora go through
+            # the bilinear resize at full precision (reference keeps floats
+            # through A.Resize, create_dataset.py:132), uint8 only after clip
             img = np.clip(
-                _resize_bilinear_np(img.astype(np.uint8), img_size), 0, 255
+                _resize_bilinear_np(img.astype(np.float32), img_size), 0, 255
             ).astype(np.uint8)
             lbl = _resize_nearest_np(lbl, img_size)
             images[i] = img

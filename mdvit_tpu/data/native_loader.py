@@ -1,31 +1,44 @@
 """ctypes bridge to the C++ threaded npy loader (csrc/npy_loader.cpp).
 
-Builds the shared library on first use (g++ is in the image); falls back to
-numpy when the toolchain or binary is unavailable. Used by
-``datasets.load_domain_arrays`` to slurp a whole split of same-shaped uint8
-npy files into one dense array.
+Builds the shared library on first use (g++ is in the image) into a cache
+location keyed by the source hash — editing csrc/ invalidates the binary, so
+stale .so files can never shadow source fixes. Falls back to numpy when the
+toolchain is unavailable. Used by ``datasets.load_domain_arrays`` to slurp a
+whole split of same-shaped uint8 npy files into one dense array.
 """
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
+import tempfile
 
 import numpy as np
 
 _LIB = None
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
                     "npy_loader.cpp")
-_SO = os.path.join(os.path.dirname(__file__), "_npy_loader.so")
 
 
-def _build() -> bool:
-    src = os.path.abspath(_SRC)
-    if not os.path.exists(src):
-        return False
+def _so_path(src: str) -> str:
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get(
+        "MDVIT_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "mdvit_tpu"),
+    )
+    try:
+        os.makedirs(cache, exist_ok=True)
+    except OSError:
+        cache = tempfile.gettempdir()
+    return os.path.join(cache, f"_npy_loader_{digest}.so")
+
+
+def _build(src: str, so: str) -> bool:
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-pthread", "-o", _SO, src],
+            ["g++", "-O2", "-shared", "-fPIC", "-pthread", "-o", so, src],
             check=True, capture_output=True,
         )
         return True
@@ -37,11 +50,16 @@ def get_lib():
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_SO) and not _build():
+    src = os.path.abspath(_SRC)
+    if not os.path.exists(src):
+        _LIB = False
+        return False
+    so = _so_path(src)
+    if not os.path.exists(so) and not _build(src, so):
         _LIB = False
         return False
     try:
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
         lib.npy_batch_load.restype = ctypes.c_int
         lib.npy_batch_load.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,

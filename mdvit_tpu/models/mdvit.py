@@ -125,6 +125,7 @@ class MDViT(nn.Module):
         out_feat: bool = False,
         out_seg: bool = True,
         aux_mode: str = "grouped",
+        aux_sharding=None,
     ) -> dict[str, Any]:
         core = FATEncoderDecoder(
             img_size=self.img_size, in_chans=self.in_chans,
@@ -175,7 +176,20 @@ class MDViT(nn.Module):
             grouped = jax.tree_util.tree_map(
                 lambda f: f.reshape((d, b // d) + f.shape[1:]), features
             )
+            if aux_sharding is not None:
+                # Under a data-parallel mesh, pin the grouped layout to shard
+                # the PER-DOMAIN batch axis (axis 1) and replicate the domain
+                # axis: the (D·B)→(D, B/D) reshape would otherwise propagate
+                # the batch sharding onto D, which the vmapped debranch lowers
+                # into a grouped conv's feature_group dimension — a dimension
+                # GSPMD cannot split (invalid per-shard convolutions).
+                grouped = jax.tree_util.tree_map(
+                    lambda f: jax.lax.with_sharding_constraint(
+                        f, aux_sharding), grouped
+                )
             aux = debranch(grouped, None, train)  # (D, B/D, H, W, 1)
+            if aux_sharding is not None:
+                aux = jax.lax.with_sharding_constraint(aux, aux_sharding)
             aux = aux.reshape((b,) + aux.shape[2:])
         elif aux_mode == "select":
             tiled = jax.tree_util.tree_map(

@@ -18,26 +18,26 @@ def register_model(name: str):
     return deco
 
 
+def _import_model_modules() -> None:
+    """Import every model module so its ``@register_model`` side effects run."""
+    import mdvit_tpu.models.mdvit  # noqa: F401
+    import mdvit_tpu.models.base  # noqa: F401
+    import mdvit_tpu.models.swin_unet  # noqa: F401
+    import mdvit_tpu.models.utnet  # noqa: F401
+    import mdvit_tpu.models.transfuse  # noqa: F401
+    import mdvit_tpu.models.swin_unetr  # noqa: F401
+    import mdvit_tpu.models.mpvit  # noqa: F401
+    import mdvit_tpu.models.coat  # noqa: F401
+
+
 def get_model(name: str, **kwargs):
     if name not in _REGISTRY:
-        # import model modules lazily so registration side effects run
-        import mdvit_tpu.models.mdvit  # noqa: F401
-        import mdvit_tpu.models.base  # noqa: F401
-        import mdvit_tpu.models.swin_unet  # noqa: F401
-        import mdvit_tpu.models.utnet  # noqa: F401
-        import mdvit_tpu.models.transfuse  # noqa: F401
-        import mdvit_tpu.models.swin_unetr  # noqa: F401
-        import mdvit_tpu.models.mpvit  # noqa: F401
-        import mdvit_tpu.models.coat  # noqa: F401
+        _import_model_modules()
     if name not in _REGISTRY:
         raise KeyError(f"unknown model {name!r}; have {sorted(_REGISTRY)}")
     return _REGISTRY[name](**kwargs)
 
 
 def list_models() -> list[str]:
-    get_model.__wrapped__ = None  # trigger nothing; imports happen in get_model
-    try:
-        get_model("__none__")
-    except KeyError:
-        pass
+    _import_model_modules()
     return sorted(_REGISTRY)

@@ -5,7 +5,7 @@ calling ``medpy.metric.binary.dc/jc`` on the thresholded sigmoid
 (``multi_train_MDViT.py:171-179``) — a device→host stall per domain per step.
 Here the same quantities are computed in jnp on device; values are validated
 against a literal-definition numpy implementation in tests
-(``tests/test_metrics.py``).
+(``tests/test_losses_metrics.py``).
 
 Semantics match medpy on a whole batch array: global (not per-image) binary
 overlap; ``dc`` returns 0 when both masks are empty, ``jc`` returns 0 when the

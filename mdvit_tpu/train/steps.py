@@ -117,8 +117,18 @@ def make_train_step(
             y = jax.lax.with_sharding_constraint(y, data_sharding)
             onehot = jax.lax.with_sharding_constraint(onehot, data_sharding)
 
+        aux_sharding = None
+        if data_sharding is not None and mkd:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            aux_sharding = NamedSharding(
+                data_sharding.mesh, PartitionSpec(None, *data_sharding.spec)
+            )
+
         def loss_fn(params):
             kwargs = {"aux_mode": "grouped"} if mkd else {}
+            if aux_sharding is not None:
+                kwargs["aux_sharding"] = aux_sharding
             out, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 x, onehot, train=True, mutable=["batch_stats"],
@@ -156,7 +166,8 @@ def make_train_step(
 
                 dice_d, iou_d = jax.vmap(dom_metrics)(probs, group(y))
                 multi = jnp.sum(losses_d)
-                metrics = {"loss": multi, "dice_per_domain": dice_d,
+                metrics = {"loss": multi, "loss_per_domain": losses_d,
+                           "dice_per_domain": dice_d,
                            "iou_per_domain": iou_d}
                 return (jnp.zeros(()), multi), (updates["batch_stats"],
                                                 metrics)
@@ -175,6 +186,9 @@ def make_train_step(
                 metrics = {
                     "loss": multi_seg, "aux_loss": multi_aux,
                     "kt_loss": multi_kt,
+                    "loss_per_domain": seg_d,
+                    "aux_loss_per_domain": aux_d,
+                    "kt_loss_per_domain": kt_d,
                     "dice_per_domain": dice_d, "iou_per_domain": iou_d,
                 }
                 return (multi_aux, uni), (updates["batch_stats"], metrics)
@@ -184,7 +198,7 @@ def make_train_step(
             )
             multi_seg = jnp.sum(seg_d)
             metrics = {
-                "loss": multi_seg,
+                "loss": multi_seg, "loss_per_domain": seg_d,
                 "dice_per_domain": dice_d, "iou_per_domain": iou_d,
             }
             return (jnp.zeros(()), multi_seg), (updates["batch_stats"], metrics)

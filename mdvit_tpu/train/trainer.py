@@ -169,41 +169,70 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> dict:
+        """Run one epoch; log per-step per-domain scalars AND epoch averages
+        over all steps (AvgMeter semantics, ``multi_train_MDViT.py:181-232``).
+
+        Step metrics are accumulated as device arrays and fetched with ONE
+        host sync at epoch end — a per-step device_get through the tunnel
+        would serialize the async dispatch pipeline.
+        """
         t0 = time.time()
-        metrics = None
+        pending = []
+        step0 = int(self.state.step)
         for it in range(self.steps_per_epoch):
             indices = jnp.asarray(self.sampler.next_batch())
             self.state, metrics = self.train_step(
                 self.state, self.store.images, self.store.masks, indices
             )
+            pending.append(metrics)
             if self.config.debug:
                 break
-        metrics = jax.device_get(metrics)
-        step = int(self.state.step)
-        for i, n in enumerate(self.names):
-            self.logger.add_scalar(
-                f"Train/{n}/IOU", metrics["iou_per_domain"][i], step
-            )
-        self.logger.add_scalar("Train/Average/sum_loss", metrics["loss"], step)
-        if self.mkd:
-            self.logger.add_scalar(
-                "Train/Average/aux_loss", metrics["aux_loss"], step
-            )
-            self.logger.add_scalar(
-                "Train/Average/kt_loss", metrics["kt_loss"], step
-            )
-        self.logger.add_scalar(
-            "Train/Average/IOU", float(np.mean(metrics["iou_per_domain"])), step
-        )
+        steps = jax.device_get(pending)
         dt = time.time() - t0
+
+        # per-step per-domain scalars at the global step, like the reference
+        for k, m in enumerate(steps):
+            gstep = step0 + k + 1
+            for i, n in enumerate(self.names):
+                self.logger.add_scalar(
+                    f"Train/{n}/loss", m["loss_per_domain"][i], gstep)
+                self.logger.add_scalar(
+                    f"Train/{n}/IOU", m["iou_per_domain"][i], gstep)
+                if self.mkd:
+                    self.logger.add_scalar(
+                        f"Train/{n}/auxloss",
+                        m["aux_loss_per_domain"][i], gstep)
+                    self.logger.add_scalar(
+                        f"Train/{n}/ktloss", m["kt_loss_per_domain"][i], gstep)
+
+        # epoch means over ALL steps (the reference's AvgMeter averages)
+        def mean_of(key):
+            return float(np.mean([m[key] for m in steps]))
+
+        epoch_mean = {
+            "loss": mean_of("loss"),
+            "iou": float(np.mean([m["iou_per_domain"] for m in steps])),
+            "dice": float(np.mean([m["dice_per_domain"] for m in steps])),
+        }
+        gstep = step0 + len(steps)
+        self.logger.add_scalar(
+            "Train/Average/sum_loss", epoch_mean["loss"], gstep)
+        self.logger.add_scalar("Train/Average/IOU", epoch_mean["iou"], gstep)
+        if self.mkd:
+            epoch_mean["aux_loss"] = mean_of("aux_loss")
+            epoch_mean["kt_loss"] = mean_of("kt_loss")
+            self.logger.add_scalar(
+                "Train/Average/aux_loss", epoch_mean["aux_loss"], gstep)
+            self.logger.add_scalar(
+                "Train/Average/kt_loss", epoch_mean["kt_loss"], gstep)
         print(
-            f"Epoch {epoch}, steps {self.steps_per_epoch} || "
-            f"sum_loss: {float(metrics['loss']):.4f}, "
-            f"Avg IOU: {float(np.mean(metrics['iou_per_domain'])):.4f} "
+            f"Epoch {epoch}, steps {len(steps)} || "
+            f"sum_loss: {epoch_mean['loss']:.4f}, "
+            f"Avg IOU: {epoch_mean['iou']:.4f} "
             f"|| {dt:.1f}s "
-            f"({self.steps_per_epoch * self.num_domains * self.batch_size / max(dt, 1e-9):.1f} img/s)"
+            f"({len(steps) * self.num_domains * self.batch_size / max(dt, 1e-9):.1f} img/s)"
         )
-        return metrics
+        return epoch_mean
 
     # ------------------------------------------------------------------
     def evaluate(self, split: str = "test", epoch: int | None = None) -> dict:
@@ -257,6 +286,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self):
         epochs = int(self.config.train.num_epochs)
+        if self.start_epoch == 0:
+            # the reference saves initial weights to best_model_dir before
+            # the epoch loop (multi_train_MDViT.py:114) so test() always has
+            # a checkpoint even if val IoU never improves over 0
+            ckpt.save_best(self.exp_dir, self.state.params,
+                           self.state.batch_stats)
         for epoch in range(self.start_epoch, epochs):
             self.train_epoch(epoch)
             val = self.evaluate("test", epoch=epoch)
@@ -289,9 +324,19 @@ class Trainer:
         (reference ``test()``, ``multi_train_MDViT.py:351-425``)."""
         like = {"params": self.state.params,
                 "batch_stats": self.state.batch_stats}
-        restored = ckpt.restore_pytree(
-            model_dir or os.path.join(self.exp_dir, "best"), like
-        )
+        best_dir = model_dir or os.path.join(self.exp_dir, "best")
+        if model_dir is None and not os.path.isdir(best_dir):
+            # degenerate runs may never save a best ckpt; fall back to last
+            last_dir = os.path.join(self.exp_dir, "last")
+            if os.path.isdir(last_dir):
+                print("best checkpoint missing; testing the last checkpoint")
+                full = ckpt.try_load_last(self.exp_dir)
+                restored = {"params": full["params"],
+                            "batch_stats": full["batch_stats"]}
+            else:
+                raise FileNotFoundError(best_dir)
+        else:
+            restored = ckpt.restore_pytree(best_dir, like)
         self.state = self.state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"]
         )

@@ -102,6 +102,68 @@ def test_det_sup_blocks_aux_grads_into_domain_layer():
     assert not np.allclose(d_det, d_nodet)
 
 
+def test_det_sup_exact_semantics():
+    """Exact masked-double-gradient check with a third vjp pull: under
+    det_sup, grad[domain_layer] ≡ grad(uni)[domain_layer] exactly, and for
+    every other param grad ≡ grad(uni) + grad(aux) (reference staged backward,
+    ``multi_train_MDViT.py:195-211``)."""
+    import jax.tree_util as jtu
+
+    model, state, _, (images, masks, idx) = _setup()
+    from mdvit_tpu.data.augment import eval_transform
+    from mdvit_tpu.data.loader import gather_batch
+
+    x_raw, m_raw, onehot = gather_batch(images, masks, idx)
+    x, y = eval_transform(x_raw, m_raw)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            x, onehot, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)}, aux_mode="grouped",
+        )
+        logits, aux_logits = out["seg"]
+        seg_d, aux_d, kt_d, _, _ = _per_domain_losses(logits, aux_logits, y, D)
+        uni = 0.5 * jnp.sum(kt_d) + 0.5 * jnp.sum(seg_d)
+        return jnp.sum(aux_d), uni
+
+    @jax.jit
+    def pulls(params):
+        _, vjp = jax.vjp(loss_fn, params)
+        one = jnp.ones((), jnp.float32)
+        zero = jnp.zeros((), jnp.float32)
+        (g_all,) = vjp((one, one))
+        (g_uni,) = vjp((zero, one))
+        (g_aux,) = vjp((one, zero))
+        return g_all, g_uni, g_aux
+
+    g_all, g_uni, g_aux = pulls(state.params)
+    masked = jtu.tree_map_with_path(
+        lambda p, ga, gu: gu if path_contains(p, "domain_layer") else ga,
+        g_all, g_uni,
+    )
+
+    flat_m = jtu.tree_flatten_with_path(masked)[0]
+    flat_u = jtu.tree_leaves(g_uni)
+    flat_a = jtu.tree_leaves(g_aux)
+    saw_domain = saw_nonzero_aux_into_domain = False
+    for (path, m_leaf), u_leaf, a_leaf in zip(flat_m, flat_u, flat_a):
+        if path_contains(path, "domain_layer"):
+            saw_domain = True
+            np.testing.assert_array_equal(np.asarray(m_leaf),
+                                          np.asarray(u_leaf))
+            if float(jnp.max(jnp.abs(a_leaf))) > 0:
+                saw_nonzero_aux_into_domain = True
+        else:
+            np.testing.assert_allclose(
+                np.asarray(m_leaf), np.asarray(u_leaf + a_leaf),
+                rtol=1e-5, atol=1e-7)
+    assert saw_domain, "model must contain domain_layer params"
+    # the mask must be masking something real: the aux loss DOES produce
+    # gradient into domain_layer (through the shared encoder's Sup gates)
+    assert saw_nonzero_aux_into_domain
+
+
 def test_per_domain_losses_match_sequential_reference_accounting(rng):
     """Summed per-domain losses over the stacked batch must equal computing
     each domain's loss on its own minibatch and summing (the reference's
