@@ -38,7 +38,11 @@ def bundle():
         lambda k: model.init({"params": k, "dropout": k}, x, oh,
                              train=False, aux_mode="grouped")
     )(jax.random.PRNGKey(0))
-    tx = optax.adamw(1e-3)
+    # SGD, not AdamW: adam's m/sqrt(v) normalization amplifies the fp32
+    # reduction-order noise on true-zero-gradient leaves (conv bias before
+    # BN) to ±lr, which would make the sharded-vs-unsharded param comparison
+    # meaningless. SGD keeps param deltas proportional to gradient deltas.
+    tx = optax.sgd(1e-2)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=v["params"],
         batch_stats=v["batch_stats"], opt_state=tx.init(v["params"]),

@@ -155,9 +155,14 @@ def test_det_sup_exact_semantics():
             if float(jnp.max(jnp.abs(a_leaf))) > 0:
                 saw_nonzero_aux_into_domain = True
         else:
+            # one (1,1)-cotangent pull vs the sum of two single pulls: same
+            # linear combination, fp32 reduction-order roundoff only. atol
+            # floor 1e-5 covers true-zero-gradient leaves (a conv bias
+            # followed by BatchNorm has exactly-zero gradient; its computed
+            # value is pure cancellation noise ~1e-6).
             np.testing.assert_allclose(
                 np.asarray(m_leaf), np.asarray(u_leaf + a_leaf),
-                rtol=1e-5, atol=1e-7)
+                rtol=5e-4, atol=1e-5)
     assert saw_domain, "model must contain domain_layer params"
     # the mask must be masking something real: the aux loss DOES produce
     # gradient into domain_layer (through the shared encoder's Sup gates)
