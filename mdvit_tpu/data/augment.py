@@ -275,6 +275,131 @@ def _ssr_apply(images: jax.Array, masks: jax.Array, angle: jax.Array,
     return out_img, out_mask
 
 
+def _pack_rgbm_u32(images: jax.Array, masks: jax.Array) -> jax.Array:
+    """Pack integer-valued RGB (0..255) + binary mask into one uint32 word
+    per pixel: ``r | g<<8 | b<<16 | m<<24``. Lossless for uint8-valued
+    floats."""
+    iu = images.astype(jnp.uint32)
+    mu = masks.astype(jnp.uint32)
+    return iu[..., 0] | (iu[..., 1] << 8) | (iu[..., 2] << 16) | (mu << 24)
+
+
+def _unpack_rgbm_u32(v: jax.Array):
+    rgb = jnp.stack(
+        [v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF], axis=-1
+    ).astype(jnp.float32)
+    return rgb, ((v >> 24) & 0x1).astype(jnp.float32)
+
+
+def _ssr_apply_block(images: jax.Array, masks: jax.Array, angle: jax.Array,
+                     scale: jax.Array, shift: jax.Array):
+    """Block warp: ONE gather per 2×2 output block (¼ the indices).
+
+    The TPU gather is per-index bound (~7 ns/index end-to-end; payload width
+    is nearly free — bench_variants round 2), so the warp's cost is set by
+    index count alone. Within a 2×2 output block the source coordinates
+    spread by at most ``scale·√2 ≈ 1.56`` px (scale ≤ 1.1), so all four
+    pixels' bilinear taps live inside one 4×4 source patch. The patch is
+    packed as 16 uint32 channels (RGB+mask bit-packed, offsets (dy,dx) ∈
+    0..3²) and fetched with a single per-block index at the patch origin
+    ``(min y0, min x0)``; per-pixel taps are then separable 4-way selects.
+
+    Interior pixels are bit-exact vs ``_ssr_apply``; pixels whose block
+    straddling a fold is still exact because BOTH taps' reflected indices
+    are computed per pixel and mapped into the patch — the block warp
+    matches the exact cv2-semantics sampler (``_affine_sample``) at every
+    pixel (pinned by ``tests/test_augment.py``), unlike the previous
+    shifted-copy packing which deviated ±1 px at borders.
+    """
+    b, h, w, c = images.shape
+    a_inv, t_inv = jax.vmap(
+        lambda an, sc, dx, dy: _rotation_matrix(an, sc, dx, dy, h, w)
+    )(angle, scale, shift[:, 0], shift[:, 1])
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    sx = (
+        a_inv[:, 0, 0, None, None] * xs
+        + a_inv[:, 0, 1, None, None] * ys
+        + t_inv[:, 0, None, None]
+    )
+    sy = (
+        a_inv[:, 1, 0, None, None] * xs
+        + a_inv[:, 1, 1, None, None] * ys
+        + t_inv[:, 1, None, None]
+    )
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    # both taps' indices reflected EXACTLY (cv2 semantics) — unlike the
+    # shifted-copy paths, the block warp needs no ±1 border approximation
+    x0i = _reflect101(x0.astype(jnp.int32), w)
+    x1i = _reflect101(x0.astype(jnp.int32) + 1, w)
+    y0i = _reflect101(y0.astype(jnp.int32), h)
+    y1i = _reflect101(y0.astype(jnp.int32) + 1, h)
+
+    # patch origin per 2×2 block: min over the 4 pixels' tap indices
+    def block_min(a):
+        a4 = a.reshape(b, h // 2, 2, w // 2, 2)
+        return jnp.min(jnp.min(a4, axis=4), axis=2)  # (B, H/2, W/2)
+
+    bx = jnp.minimum(block_min(jnp.minimum(x0i, x1i)), w - 4)
+    by = jnp.minimum(block_min(jnp.minimum(y0i, y1i)), h - 4)
+    # per-pixel patch column/row of each tap (0..3; the clip never engages
+    # for the recipe's parameter ranges — tap spread within a block is ≤ 3)
+    up = lambda a: jnp.repeat(jnp.repeat(a, 2, axis=1), 2, axis=2)
+    bxp, byp = up(bx), up(by)
+    ox0 = jnp.clip(x0i - bxp, 0, 3)
+    ox1 = jnp.clip(x1i - bxp, 0, 3)
+    oy0 = jnp.clip(y0i - byp, 0, 3)
+    oy1 = jnp.clip(y1i - byp, 0, 3)
+
+    # 16 patch channels: value at (y+dy, x+dx), via chained reflect-shifts
+    base = _pack_rgbm_u32(images, masks)[..., None]  # (B,H,W,1) u32
+    xsh = [base]
+    for _ in range(3):
+        xsh.append(_shift_reflect(xsh[-1], 2))
+    rows = [xsh]
+    for _ in range(1, 4):
+        rows.append([_shift_reflect(t, 1) for t in rows[-1]])
+    packed = jnp.concatenate(
+        [t for row in rows for t in row], axis=-1
+    )  # (B,H,W,16) u32, channel dy*4+dx
+
+    flat = packed.reshape(b, h * w, 16)
+    bidx = (by * w + bx).reshape(b, (h // 2) * (w // 2), 1)
+    patch = jnp.take_along_axis(flat, bidx, axis=1).reshape(
+        b, h // 2, w // 2, 16
+    )
+
+    # separable per-pixel tap weights over the 4 patch columns/rows
+    wx = [
+        (ox0 == k).astype(jnp.float32) * (1.0 - fx)
+        + (ox1 == k).astype(jnp.float32) * fx
+        for k in range(4)
+    ]
+    wy = [
+        (oy0 == k).astype(jnp.float32) * (1.0 - fy)
+        + (oy1 == k).astype(jnp.float32) * fy
+        for k in range(4)
+    ]
+    nxi = jnp.where(fx >= 0.5, ox1, ox0)
+    nyi = jnp.where(fy >= 0.5, oy1, oy0)
+
+    out_img = jnp.zeros((b, h, w, c), jnp.float32)
+    out_mask = jnp.zeros((b, h, w), jnp.float32)
+    for dy in range(4):
+        for dx in range(4):
+            rgb, m = _unpack_rgbm_u32(patch[..., dy * 4 + dx])
+            rgb_px = up(rgb)  # (B,H,W,3) broadcast block → pixels
+            m_px = up(m)
+            wgt = wy[dy] * wx[dx]
+            out_img = out_img + wgt[..., None] * rgb_px
+            near = ((nyi == dy) & (nxi == dx)).astype(jnp.float32)
+            out_mask = out_mask + near * m_px
+    return out_img, out_mask
+
+
 def _ssr_batch(images: jax.Array, masks: jax.Array, key: jax.Array):
     """ShiftScaleRotate (p=0.5, albumentations 1.1 default ranges) on a
     batch: sample per-sample params, then the single-gather warp."""
@@ -292,7 +417,7 @@ def _ssr_batch(images: jax.Array, masks: jax.Array, key: jax.Array):
         jax.random.uniform(k4, (b, 2), minval=-0.0625, maxval=0.0625),
         jnp.zeros((b, 2)),
     )
-    return _ssr_apply(images, masks, angle, scale, shift)
+    return _ssr_apply_block(images, masks, angle, scale, shift)
 
 
 def augment_batch(
@@ -310,7 +435,11 @@ def augment_batch(
     )
     noise = fast_normal(_seed_from_key(k_noise), images.shape) * jnp.sqrt(var)
     apply_n = jax.random.bernoulli(k_napply, 0.5, (b, 1, 1, 1))
-    images = jnp.clip(images + jnp.where(apply_n, noise, 0.0), 0.0, 255.0)
+    # albumentations preserves uint8 dtype: GaussNoise adds float noise, then
+    # clips and CASTS BACK to uint8 (truncation). The floor reproduces that
+    # and guarantees integer-valued pixels for the packed warp below.
+    images = jnp.floor(jnp.clip(images + jnp.where(apply_n, noise, 0.0),
+                                0.0, 255.0))
 
     # flips (p=0.5 each)
     fh = jax.random.bernoulli(k_h, 0.5, (b, 1, 1, 1))

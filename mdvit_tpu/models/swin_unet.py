@@ -312,3 +312,82 @@ def build_swin_unet(img_size=256, num_domains=4, adapt_method=None,
     (``multi_train_BASE.py:88``)."""
     kw.pop("decoder_name", None)
     return SwinUnet(img_size=img_size, window=8, dtype=dtype, **kw)
+
+
+class SwinClassifier(nn.Module):
+    """Swin Transformer classification backbone (C30,
+    ``Models/Transformer/Swin_transformer.py:478-601``): patch embed + LN →
+    optional absolute pos embed → 4 BasicLayers (SwinBlocks + PatchMerging
+    between stages) → LN → token-mean pool → linear head.
+
+    Shares ``SwinBlock``/``PatchMerging`` with the SwinUnet encoder — the
+    reference vendors a second full copy of the Swin machinery; here the
+    classifier is a thin composition over the same substrate.
+    """
+
+    img_size: int = 224
+    patch_size: int = 4
+    num_classes: int = 1000
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window: int = 7
+    mlp_ratio: float = 4.0
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    ape: bool = False
+    patch_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        res0 = self.img_size // self.patch_size
+        dims = [self.embed_dim * 2 ** i for i in range(4)]
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths))
+
+        x = conv2d(self.embed_dim, self.patch_size, self.patch_size, 0,
+                   dtype=self.dtype, name="patch_embed")(x)
+        b = x.shape[0]
+        x = x.reshape(b, res0 * res0, self.embed_dim)
+        if self.patch_norm:
+            x = DomainLayerNorm(self.embed_dim, dtype=self.dtype,
+                                name="patch_norm")(x)
+        if self.ape:
+            pe = self.param(
+                "absolute_pos_embed",
+                lambda key, shape: 0.02 * jax.random.truncated_normal(
+                    key, -2.0, 2.0, shape),
+                (1, res0 * res0, self.embed_dim),
+            )
+            x = x + pe.astype(x.dtype)
+        x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
+
+        for i in range(4):
+            res = res0 // (2 ** i)
+            for j in range(self.depths[i]):
+                x = SwinBlock(
+                    dim=dims[i], input_resolution=(res, res),
+                    num_heads=self.num_heads[i], window=self.window,
+                    shift=0 if j % 2 == 0 else self.window // 2,
+                    mlp_ratio=self.mlp_ratio, drop=self.drop_rate,
+                    drop_path=float(dpr[sum(self.depths[:i]) + j]),
+                    dtype=self.dtype, name=f"layer{i}_block{j}",
+                )(x, train)
+            if i < 3:
+                x = PatchMerging((res, res), dims[i], dtype=self.dtype,
+                                 name=f"downsample{i}")(x, train)
+
+        x = DomainLayerNorm(dims[3], dtype=self.dtype, name="norm")(x)
+        feat = jnp.mean(x, axis=1)  # avgpool over tokens (:592)
+        logits = (dense(self.num_classes, dtype=self.dtype, name="head")(feat)
+                  if self.num_classes > 0 else feat)
+        return {"logits": logits, "feat": feat}
+
+
+@register_model("swin_tiny")
+def build_swin_tiny(img_size=224, num_domains=4, adapt_method=None,
+                    num_classes=1000, dtype=jnp.float32, **kw):
+    """Swin-T config as vendored (embed 96, depths [2,2,6,2], window 7)."""
+    kw.pop("decoder_name", None)
+    return SwinClassifier(img_size=img_size, num_classes=num_classes,
+                          dtype=dtype, **kw)

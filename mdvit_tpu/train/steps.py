@@ -210,6 +210,11 @@ def make_train_step(
         one = jnp.ones((), jnp.float32)
         zero = jnp.zeros((), jnp.float32)
         if mkd and det_sup:
+            # NOTE(perf): batching these two pulls through jax.vmap was tried
+            # and LOST 5× (308.8 → 61.0 img/s end-to-end) — the batched
+            # backward convolutions lower catastrophically on TPU. Sequential
+            # pulls cost ~10 ms for the second pull; same 1-fwd/2-bwd shape
+            # as the reference's staged backward.
             (g_all,) = vjp_fn((one, one))
             (g_uni,) = vjp_fn((zero, one))
             grads = jax.tree_util.tree_map_with_path(

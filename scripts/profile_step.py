@@ -81,12 +81,17 @@ def main():
     config = load_config()
     tx = build_optimizer(config, steps_per_epoch=648)
 
+    # host-side master copy: donated steps delete the device buffers, so each
+    # fresh_state() re-uploads from host instead of aliasing deleted arrays
+    host_vars = jax.device_get(variables)
+
     def fresh_state():
+        v = jax.tree_util.tree_map(jnp.asarray, host_vars)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
-            params=variables["params"],
-            batch_stats=variables["batch_stats"],
-            opt_state=tx.init(variables["params"]),
+            params=v["params"],
+            batch_stats=v["batch_stats"],
+            opt_state=tx.init(v["params"]),
             rng=jax.random.PRNGKey(1),
         )
 
@@ -124,8 +129,9 @@ def main():
         report(name, ms)
 
     # ---- forward-only variants (chained through a dummy carry) ----
-    params = variables["params"]
-    stats = variables["batch_stats"]
+    v = jax.tree_util.tree_map(jnp.asarray, host_vars)
+    params = v["params"]
+    stats = v["batch_stats"]
 
     def fwd_factory(train, aux_mode, out_seg=True):
         @jax.jit

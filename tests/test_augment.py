@@ -200,3 +200,56 @@ def test_normalize_matches_reference(rng):
     want = (np.clip(x, 0, 255) / 255.0 - np.asarray(IMAGENET_MEAN)) / \
         np.asarray(IMAGENET_STD)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_ssr_block_warp_exact_everywhere(rng):
+    """The production 2×2-block warp (`_ssr_apply_block`) matches the exact
+    per-sample cv2-semantics warp (`_affine_sample`, reflected second taps)
+    at EVERY pixel — including borders, where the old shifted-copy packing
+    deviated by ±1 source pixel."""
+    from mdvit_tpu.data.augment import _ssr_apply_block
+
+    h = w = 48
+    imgs = jnp.asarray(
+        np.floor(rng.rand(5, h, w, 3) * 256).clip(0, 255).astype(np.float32))
+    msks = jnp.asarray((rng.rand(5, h, w) > 0.5).astype(np.float32))
+    angle = jnp.asarray([0.0, 30.0, -45.0, 7.3, 44.9], jnp.float32)
+    scale = jnp.asarray([1.0, 1.05, 0.9, 1.0, 1.1], jnp.float32)
+    shift = jnp.asarray(
+        [[0, 0], [0.05, -0.03], [-0.0625, 0.0625], [0, 0], [0.06, 0.06]],
+        jnp.float32)
+
+    def one(img, mask, an, sc, sh):
+        a_inv, t_inv = _rotation_matrix(an, sc, sh[0], sh[1], h, w)
+        oi = _affine_sample(img, a_inv, t_inv, nearest=False)
+        om = _affine_sample(mask[..., None], a_inv, t_inv, nearest=True)[..., 0]
+        return oi, om
+
+    ref_i, ref_m = jax.jit(jax.vmap(one))(imgs, msks, angle, scale, shift)
+    out_i, out_m = jax.jit(_ssr_apply_block)(imgs, msks, angle, scale, shift)
+
+    # Exclude floor/round-unstable pixels: where a source coordinate sits
+    # within an ulp-scale band of an integer (or of .5 for the nearest mask),
+    # the two differently-fused programs may legitimately round opposite ways.
+    stable = np.ones((5, h, w), bool)
+    for i in range(5):
+        a_inv, t_inv = _rotation_matrix(
+            angle[i], scale[i], shift[i, 0], shift[i, 1], h, w)
+        a_inv = np.asarray(a_inv, np.float64)
+        t_inv = np.asarray(t_inv, np.float64)
+        ys, xs = np.meshgrid(np.arange(h, dtype=np.float64),
+                             np.arange(w, dtype=np.float64), indexing="ij")
+        sx = a_inv[0, 0] * xs + a_inv[0, 1] * ys + t_inv[0]
+        sy = a_inv[1, 0] * xs + a_inv[1, 1] * ys + t_inv[1]
+        for s_ in (sx, sy):
+            fr = s_ - np.floor(s_)
+            d0 = np.minimum(fr, 1 - fr)
+            dh = np.abs(fr - 0.5)
+            # exactly-on-boundary coords round identically in both programs;
+            # only a strictly-inside ulp-scale band is ambiguous
+            stable[i] &= ~(((d0 > 0) & (d0 < 1e-3)) | ((dh > 0) & (dh < 1e-3)))
+    di = np.abs(np.asarray(out_i) - np.asarray(ref_i)).max(-1)
+    dm = np.abs(np.asarray(out_m) - np.asarray(ref_m))
+    assert stable.mean() > 0.95  # the mask only strips a sliver
+    assert di[stable].max() < 5e-3, di[stable].max()  # fp assoc, ≪ 1 LSB
+    assert dm[stable].max() == 0.0, dm[stable].max()

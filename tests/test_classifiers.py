@@ -60,3 +60,26 @@ def test_coat_parallel_forward():
     out = jax.jit(lambda v: m.apply(v, x, train=False))(v)
     assert out["logits"].shape == (2, 7)
     assert np.all(np.isfinite(np.asarray(out["logits"])))
+
+
+def test_swin_tiny_param_count_matches_published():
+    # Swin-T: 28.3M params at 1000 classes (Swin_transformer.py:478 defaults)
+    from mdvit_tpu.models.swin_unet import SwinClassifier
+    m = SwinClassifier(num_classes=1000)
+    shapes = jax.eval_shape(
+        lambda: m.init(RNGS, jnp.zeros((1, 224, 224, 3)), train=False))
+    n = sum(int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(shapes["params"]))
+    assert abs(n - 28_288_354) / 28_288_354 < 0.01, n
+
+
+def test_swin_classifier_forward():
+    from mdvit_tpu.models.swin_unet import SwinClassifier
+    m = SwinClassifier(img_size=32, num_classes=7, embed_dim=24,
+                       depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2),
+                       window=4, ape=True)
+    x = jnp.zeros((2, 32, 32, 3))
+    v = jax.jit(lambda: m.init(RNGS, x, train=False))()
+    out = jax.jit(lambda v: m.apply(v, x, train=False))(v)
+    assert out["logits"].shape == (2, 7)
+    assert out["feat"].shape == (2, 24 * 8)
