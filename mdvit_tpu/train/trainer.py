@@ -215,6 +215,17 @@ class Trainer:
             "dice": float(np.mean([m["dice_per_domain"] for m in steps])),
         }
         gstep = step0 + len(steps)
+        # lr per epoch (reference: multi_train_MDViT.py:326). The schedule is
+        # step-indexed; recompute it host-side from the config.
+        from mdvit_tpu.train.optim import steplr_schedule
+        sched_cfg = self.config.train.get("scheduler", {})
+        opt = self.config.train.optimizer
+        base_lr = float(
+            opt.adamw.lr if opt.mode == "adamw" else opt.adam.lr)
+        lr_now = float(steplr_schedule(
+            base_lr, int(sched_cfg.get("step_size", 50)),
+            float(sched_cfg.get("gamma", 0.5)), self.steps_per_epoch)(gstep))
+        self.logger.add_scalar("Train/lr", lr_now, epoch)
         self.logger.add_scalar(
             "Train/Average/sum_loss", epoch_mean["loss"], gstep)
         self.logger.add_scalar("Train/Average/IOU", epoch_mean["iou"], gstep)
@@ -286,12 +297,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self):
         epochs = int(self.config.train.num_epochs)
+        writer = ckpt.CheckpointWriter(self.exp_dir)
         if self.start_epoch == 0:
             # the reference saves initial weights to best_model_dir before
             # the epoch loop (multi_train_MDViT.py:114) so test() always has
             # a checkpoint even if val IoU never improves over 0
-            ckpt.save_best(self.exp_dir, self.state.params,
-                           self.state.batch_stats)
+            writer.save_best(self.state.params, self.state.batch_stats)
         for epoch in range(self.start_epoch, epochs):
             self.train_epoch(epoch)
             val = self.evaluate("test", epoch=epoch)
@@ -304,15 +315,16 @@ class Trainer:
                 f"Avg IOU: {avg_iou:.4f}"
             )
             if avg_iou > self.max_iou:
-                ckpt.save_best(self.exp_dir, self.state.params,
-                               self.state.batch_stats)
+                writer.save_best(self.state.params, self.state.batch_stats)
                 self.max_iou = avg_iou
                 self.best_epoch = epoch
                 print(f"New best epoch {epoch}!===============================")
-            ckpt.save_last(self.exp_dir, self.state, epoch, self.max_iou)
+            writer.save_last(self.state, epoch, self.max_iou)
             self.logger.flush()
             if self.config.debug:
+                writer.close()
                 return
+        writer.close()
         print(
             "Complete training ------------------------------------------\n"
             f"The best epoch is {self.best_epoch}"
@@ -324,19 +336,19 @@ class Trainer:
         (reference ``test()``, ``multi_train_MDViT.py:351-425``)."""
         like = {"params": self.state.params,
                 "batch_stats": self.state.batch_stats}
-        best_dir = model_dir or os.path.join(self.exp_dir, "best")
-        if model_dir is None and not os.path.isdir(best_dir):
-            # degenerate runs may never save a best ckpt; fall back to last
-            last_dir = os.path.join(self.exp_dir, "last")
-            if os.path.isdir(last_dir):
-                print("best checkpoint missing; testing the last checkpoint")
+        if model_dir is None:
+            try:
+                restored = ckpt.load_best(self.exp_dir, like)
+            except FileNotFoundError:
+                # degenerate runs may never save a best ckpt; fall back to last
                 full = ckpt.try_load_last(self.exp_dir)
+                if full is None:
+                    raise
+                print("best checkpoint missing; testing the last checkpoint")
                 restored = {"params": full["params"],
                             "batch_stats": full["batch_stats"]}
-            else:
-                raise FileNotFoundError(best_dir)
         else:
-            restored = ckpt.restore_pytree(best_dir, like)
+            restored = ckpt.restore_pytree(model_dir, like)
         self.state = self.state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"]
         )
