@@ -146,6 +146,16 @@ def build_argparser() -> argparse.ArgumentParser:
         help="exact experiment dir (overrides the timestamped path; point at "
         "an existing run to resume from its last checkpoint)",
     )
+    p.add_argument(
+        "--profile_steps", type=int, default=0,
+        help="capture a jax.profiler trace of this many train steps into "
+        "<exp_dir>/profile (view with TensorBoard)",
+    )
+    p.add_argument(
+        "--distributed", action="store_true",
+        help="call jax.distributed.initialize() for multi-host (DCN) "
+        "training; env-based coordinator discovery (TPU pods set this up)",
+    )
     return p
 
 
@@ -176,6 +186,10 @@ def config_from_args(args: argparse.Namespace) -> DotDict:
         overrides.setdefault("data", {})["synthetic"] = True
     if args.debug:
         overrides["debug"] = True
+    if args.profile_steps:
+        overrides.setdefault("tpu", {})["profile_steps"] = args.profile_steps
+    if args.distributed:
+        overrides.setdefault("tpu", {})["distributed"] = True
     cfg = load_config(args.config_yml, overrides)
     cfg["exp_name"] = args.exp_name
     cfg["results_dir"] = args.results_dir

@@ -179,14 +179,27 @@ class Trainer:
         t0 = time.time()
         pending = []
         step0 = int(self.state.step)
+        profile_steps = int(self.config.tpu.get("profile_steps", 0) or 0)
+        profiling = profile_steps > 0 and epoch == self.start_epoch
+        if profiling:
+            jax.profiler.start_trace(os.path.join(self.exp_dir, "profile"))
         for it in range(self.steps_per_epoch):
             indices = jnp.asarray(self.sampler.next_batch())
             self.state, metrics = self.train_step(
                 self.state, self.store.images, self.store.masks, indices
             )
             pending.append(metrics)
+            if profiling and it + 1 >= profile_steps:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profiler trace ({profile_steps} steps) written to "
+                      f"{os.path.join(self.exp_dir, 'profile')}")
             if self.config.debug:
                 break
+        if profiling:
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
         steps = jax.device_get(pending)
         dt = time.time() - t0
 

@@ -22,6 +22,12 @@ from mdvit_tpu.train.trainer import Trainer
 def main():
     args = build_argparser().parse_args()
     config = config_from_args(args)
+    if config.tpu.get("distributed"):
+        # multi-host: one process per host, same mesh extended over DCN;
+        # coordinator discovery comes from the TPU pod environment
+        import jax
+
+        jax.distributed.initialize()
     # keep num_domains in sync with the dataset list (reference hardcodes
     # K=4 at multi_train_MDViT.py:469-471)
     config.model_adapt.num_domains = len(config.data.name)
