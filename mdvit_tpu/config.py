@@ -40,6 +40,8 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "train": {
         "num_workers": 2,
         "num_epochs": 200,
+        "save_last_every": 5,  # full-state resume ckpt cadence (420 MB; the
+        # write is async but finalize blocks when it outlasts an epoch)
         "num_iters": False,
         "batch_size": 4,  # per-domain batch size
         "optimizer": {

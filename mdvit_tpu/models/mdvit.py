@@ -94,6 +94,16 @@ class MDViT(nn.Module):
     bn_domain_stats: bool = True
     dtype: jnp.dtype = jnp.float32
 
+    def debranch_module(self):
+        """Unstacked debranch module for SINGLE-domain application: the
+        reference's eval dispatches each batch to exactly one debranch by the
+        batch's domain id (``mdvit.py:714-724``, val loop ``:263-268``), so
+        the eval step applies this module with the vmap-stacked variables
+        sliced at the batch's domain index — ¼ the 'select' broadcast work.
+        """
+        cls, kwargs = self._debranch_cls()
+        return cls(**kwargs, parent=None)  # detached standalone module
+
     def _debranch_cls(self):
         size = (self.img_size, self.img_size)
         spec = NormSpec()  # each stacked slice is already domain-private
@@ -198,6 +208,11 @@ class MDViT(nn.Module):
             outs = debranch(tiled, None, False)  # (D, B, H, W, 1)
             oh = domain_onehot.astype(outs.dtype)
             aux = jnp.einsum("dbhwc,bd->bhwc", outs, oh)
+        elif aux_mode == "features":
+            # skip the stacked debranch; the caller applies debranch_module()
+            # with domain-sliced variables (single-domain eval batches)
+            return {"seg": (logits, None), "feat": feat if out_feat else None,
+                    "aux_features": features}
         elif aux_mode != "none":
             raise ValueError(f"unknown aux_mode {aux_mode!r}")
 

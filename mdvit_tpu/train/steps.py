@@ -244,11 +244,25 @@ def make_train_step(
 def make_eval_step(model, mkd: bool = True) -> Callable:
     """Jitted eval step returning masked overlap counts + loss sums so the
     host can reproduce the reference's batch-weighted averages exactly
-    (``multi_train_MDViT.py:273-291``), padding-safe."""
+    (``multi_train_MDViT.py:273-291``), padding-safe.
 
-    def step(params, batch_stats, images, masks, onehot, valid):
+    MKD aux dispatch mirrors the reference's val loop: each batch is
+    single-domain and routed to exactly ONE debranch (``mdvit.py:714-724``)
+    — the model skips the stacked debranch (``aux_mode='features'``) and the
+    step applies the unstacked debranch with the caller's domain-sliced
+    variables (``aux_vars``), ¼ the broadcast-select work.
+    """
+    debranch = model.debranch_module() if mkd and hasattr(
+        model, "debranch_module") else None
+
+    def step(params, batch_stats, images, masks, onehot, valid,
+             aux_vars=None):
         x, y = eval_transform(images, masks)
-        kwargs = {"aux_mode": "select"} if mkd else {}
+        kwargs = {}
+        if mkd:
+            kwargs["aux_mode"] = (
+                "features" if debranch is not None and aux_vars is not None
+                else "select")
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             x, onehot, train=False, **kwargs,
@@ -261,6 +275,10 @@ def make_eval_step(model, mkd: bool = True) -> Callable:
             logits, aux_logits = seg_out
         else:
             logits, aux_logits = seg_out, None
+        if mkd and aux_logits is None and "aux_features" in out:
+            aux_logits = debranch.apply(
+                aux_vars, out["aux_features"], None, False
+            )
 
         b = x.shape[0]
         sample_mask = (

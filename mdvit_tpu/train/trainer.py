@@ -271,6 +271,17 @@ class Trainer:
             onehot = np.zeros((eval_bs, self.num_domains), np.float32)
             onehot[:, di] = 1.0
             onehot = jnp.asarray(onehot)
+            aux_vars = None
+            if self.mkd and "debranch" in self.state.params:
+                # single-domain batches: slice the vmap-stacked debranch to
+                # this dataset's branch (reference dispatch, mdvit.py:714-724)
+                aux_vars = {
+                    "params": jax.tree_util.tree_map(
+                        lambda a: a[di], self.state.params["debranch"]),
+                    "batch_stats": jax.tree_util.tree_map(
+                        lambda a: a[di],
+                        self.state.batch_stats.get("debranch", {})),
+                }
             # dispatch every batch asynchronously; ONE host sync per dataset
             # (a per-batch device_get costs a tunnel round-trip each — at
             # ~200 eval batches/epoch that would dwarf the train step)
@@ -280,6 +291,7 @@ class Trainer:
                     self.state.params, self.state.batch_stats,
                     jnp.asarray(imgs), jnp.asarray(msks),
                     onehot, jnp.asarray(valid, jnp.int32),
+                    aux_vars=aux_vars,
                 )
                 pending.append((out, valid))
                 if self.config.debug:
@@ -332,7 +344,9 @@ class Trainer:
                 self.max_iou = avg_iou
                 self.best_epoch = epoch
                 print(f"New best epoch {epoch}!===============================")
-            writer.save_last(self.state, epoch, self.max_iou)
+            every = int(self.config.train.get("save_last_every", 5) or 1)
+            if (epoch + 1) % every == 0 or epoch == epochs - 1:
+                writer.save_last(self.state, epoch, self.max_iou)
             self.logger.flush()
             if self.config.debug:
                 writer.close()

@@ -203,3 +203,41 @@ def test_path_contains():
     flat = jtu.tree_flatten_with_path(tree)[0]
     hits = [path_contains(p, "domain_layer") for p, _ in flat]
     assert hits == [True, False]
+
+
+def test_eval_single_debranch_matches_select():
+    """aux_mode='features' + unstacked debranch applied with domain-sliced
+    variables ≡ the broadcast 'select' path on a single-domain batch — pins
+    the eval step's reference-faithful one-debranch dispatch
+    (``mdvit.py:714-724``)."""
+    model = MDViT(adapt="Sup", num_domains=D, **TINY)
+    x = jnp.zeros((D * B, 16, 16, 3))
+    oh0 = jnp.repeat(jnp.eye(D, dtype=jnp.float32), B, 0)
+    v = jax.jit(
+        lambda k: model.init({"params": k, "dropout": k}, x, oh0,
+                             train=False, aux_mode="grouped")
+    )(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    xb = jnp.asarray(rng.rand(3, 16, 16, 3).astype(np.float32))
+    for di in range(D):
+        oh = jnp.zeros((3, D)).at[:, di].set(1.0)
+        sel = jax.jit(
+            lambda v, xb, oh: model.apply(v, xb, oh, train=False,
+                                          aux_mode="select")
+        )(v, xb, oh)
+        feats = jax.jit(
+            lambda v, xb, oh: model.apply(v, xb, oh, train=False,
+                                          aux_mode="features")
+        )(v, xb, oh)
+        sub = model.debranch_module()
+        aux_vars = {
+            "params": jax.tree_util.tree_map(
+                lambda a: a[di], v["params"]["debranch"]),
+            "batch_stats": jax.tree_util.tree_map(
+                lambda a: a[di], v["batch_stats"].get("debranch", {})),
+        }
+        aux = jax.jit(
+            lambda av, f: sub.apply(av, f, None, False)
+        )(aux_vars, feats["aux_features"])
+        np.testing.assert_allclose(
+            np.asarray(aux), np.asarray(sel["seg"][1]), rtol=2e-5, atol=2e-5)
