@@ -199,7 +199,11 @@ def _shift_reflect(x: jax.Array, axis: int) -> jax.Array:
 
 def _ssr_apply(images: jax.Array, masks: jax.Array, angle: jax.Array,
                scale: jax.Array, shift: jax.Array):
-    """Deterministic batched ShiftScaleRotate warp with ONE gather.
+    """Batched ShiftScaleRotate warp with one full-resolution gather.
+
+    Superseded in production by ``_ssr_apply_block`` (¼ the gather indices,
+    exact borders); kept as the dense-value test reference for the packing
+    formulation.
 
     TPU gathers are index-bound (~10 ns/index), so the naive 4-tap bilinear
     (4 gathers) + nearest mask (1 more) costs ~50 ms/step. Instead the four

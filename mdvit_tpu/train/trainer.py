@@ -39,6 +39,24 @@ def _is_mkd_model(name: str) -> bool:
     return name.startswith("MDViT")
 
 
+def results_table(names, results) -> pd.DataFrame:
+    """test_results rows + the Total row (loss summed, Dice/IoU averaged over
+    datasets — reference ``multi_train_MDViT.py:404-415``)."""
+    rows = {"Name": [], "loss": [], "Di_score": [], "IOU": []}
+    for n in names:
+        rows["Name"].append(n)
+        rows["loss"].append(results[n]["loss"])
+        rows["Di_score"].append(results[n]["dice"])
+        rows["IOU"].append(results[n]["iou"])
+    total = {"loss": float(np.sum(rows["loss"])),
+             "Di_score": float(np.mean(rows["Di_score"])),
+             "IOU": float(np.mean(rows["IOU"]))}
+    rows["Name"].append("Total")
+    for k, v in total.items():
+        rows[k].append(v)
+    return pd.DataFrame(rows)
+
+
 def build_model_from_config(config):
     name = config.model
     adapt = config.model_adapt.adapt_method
@@ -380,17 +398,7 @@ class Trainer:
             params=restored["params"], batch_stats=restored["batch_stats"]
         )
         results = self.evaluate("test")
-        rows = {"Name": [], "loss": [], "Di_score": [], "IOU": []}
-        for n in self.names:
-            rows["Name"].append(n)
-            rows["loss"].append(results[n]["loss"])
-            rows["Di_score"].append(results[n]["dice"])
-            rows["IOU"].append(results[n]["iou"])
-        rows["Name"].append("Total")
-        rows["loss"].append(float(np.sum(rows["loss"])))
-        rows["Di_score"].append(float(np.mean(rows["Di_score"][:-1])))
-        rows["IOU"].append(float(np.mean(rows["IOU"][:-1])))
-        df = pd.DataFrame(rows)
+        df = results_table(self.names, results)
         df.to_csv(os.path.join(self.exp_dir, "test_results.csv"), index=False)
         print(df)
         return df

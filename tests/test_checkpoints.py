@@ -77,3 +77,21 @@ def test_pending_sibling_preferred_over_swapped(tmp_path):
     got = ckpt.try_load_last(d)
     assert int(got["epoch"]) == 1
     w.close()
+
+
+def test_results_table_total_row():
+    """Regression: the Total Dice/IoU must average over ALL datasets — the
+    old in-line code sliced [:-1] before Total was appended and silently
+    dropped the last dataset (NaN for single-dataset runs)."""
+    from mdvit_tpu.train.trainer import results_table
+
+    res = {"a": {"loss": 1.0, "dice": 0.5, "iou": 0.4},
+           "b": {"loss": 2.0, "dice": 0.7, "iou": 0.6}}
+    df = results_table(["a", "b"], res)
+    total = df[df.Name == "Total"].iloc[0]
+    assert abs(total.Di_score - 0.6) < 1e-9
+    assert abs(total.IOU - 0.5) < 1e-9
+    assert abs(total.loss - 3.0) < 1e-9
+    one = results_table(["a"], {"a": res["a"]})
+    t1 = one[one.Name == "Total"].iloc[0]
+    assert abs(t1.Di_score - 0.5) < 1e-9  # no NaN for a single dataset
