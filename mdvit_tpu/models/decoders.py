@@ -22,6 +22,7 @@ from mdvit_tpu.ops.layers import (
     DWConvBN,
     Dropout2d,
     NormSpec,
+    PointwiseConv,
     conv2d,
     make_bn,
 )
@@ -95,13 +96,15 @@ class MLPDecoder(nn.Module):
         x1 = features[0]
         h, w = x1.shape[1], x1.shape[2]
         outs = []
+        # all convs here are 1×1 → PointwiseConv (matmul form) so the
+        # nn.vmap-stacked debranch lowers to batched dots GSPMD can shard
         for i, f in enumerate(features[:4]):
-            y = conv2d(self.hidden_channel, 1, 1, 0, dtype=self.dtype,
-                       name=f"linear{i + 1}")(f)
+            y = PointwiseConv(self.hidden_channel, dtype=self.dtype,
+                              name=f"linear{i + 1}")(f)
             outs.append(resize_bilinear(y, (h, w)))
         out = jnp.concatenate(outs, axis=-1)
-        out = conv2d(self.hidden_channel, 1, 1, 0, dtype=self.dtype,
-                     name="fuse_conv")(out)
+        out = PointwiseConv(self.hidden_channel, dtype=self.dtype,
+                            name="fuse_conv")(out)
         out = make_bn(self.hidden_channel, self.norm, self.dtype,
                       name="fuse_bn")(out, domain_onehot,
                                       use_running_average=not train)
@@ -109,8 +112,8 @@ class MLPDecoder(nn.Module):
         out = Dropout2d(self.dropout_ratio, name="dropout")(out, train)
         # linear_out (1×1) commutes with the bilinear upsample; applying it at
         # H/4 resizes 1 channel instead of `hidden_channel`
-        out = conv2d(self.out_channel, 1, 1, 0, dtype=self.dtype,
-                     name="linear_out")(out)
+        out = PointwiseConv(self.out_channel, dtype=self.dtype,
+                            name="linear_out")(out)
         return resize_bilinear(out, self.img_size)
 
 
@@ -135,21 +138,23 @@ class MLPDecoderFM(nn.Module):
         x1, x5 = features[0], features[4]
         h, w = x1.shape[1], x1.shape[2]
         outs = []
+        # all convs here are 1×1 → PointwiseConv (matmul form) so the
+        # nn.vmap-stacked debranch lowers to batched dots GSPMD can shard
         for i, f in enumerate(features[:4]):
-            y = conv2d(self.hidden_channel, 1, 1, 0, dtype=self.dtype,
-                       name=f"linear{i + 1}")(f)
+            y = PointwiseConv(self.hidden_channel, dtype=self.dtype,
+                              name=f"linear{i + 1}")(f)
             outs.append(resize_bilinear(y, (h, w)))
         outs.append(x5)  # raw universal-decoder feature, no projection
         out = jnp.concatenate(outs, axis=-1)  # 4·hidden + C(x5)
-        out = conv2d(self.hidden_channel, 1, 1, 0, dtype=self.dtype,
-                     name="fuse_conv")(out)
+        out = PointwiseConv(self.hidden_channel, dtype=self.dtype,
+                            name="fuse_conv")(out)
         out = make_bn(self.hidden_channel, self.norm, self.dtype,
                       name="fuse_bn")(out, domain_onehot,
                                       use_running_average=not train)
         out = jax.nn.relu(out)
         out = Dropout2d(self.dropout_ratio, name="dropout")(out, train)
-        out = conv2d(self.out_channel, 1, 1, 0, dtype=self.dtype,
-                     name="linear_out")(out)  # commutes with resize (1×1)
+        out = PointwiseConv(self.out_channel, dtype=self.dtype,
+                            name="linear_out")(out)  # commutes with resize
         return resize_bilinear(out, self.img_size)
 
 

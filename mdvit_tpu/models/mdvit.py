@@ -186,19 +186,26 @@ class MDViT(nn.Module):
             grouped = jax.tree_util.tree_map(
                 lambda f: f.reshape((d, b // d) + f.shape[1:]), features
             )
-            if aux_sharding is not None:
-                # Under a data-parallel mesh, pin the grouped layout to shard
-                # the PER-DOMAIN batch axis (axis 1) and replicate the domain
-                # axis: the (D·B)→(D, B/D) reshape would otherwise propagate
-                # the batch sharding onto D, which the vmapped debranch lowers
-                # into a grouped conv's feature_group dimension — a dimension
-                # GSPMD cannot split (invalid per-shard convolutions).
+            constrain = (
+                aux_sharding is not None
+                and self.decoder_name in ("DeepLabV3", "Transformer")
+            )
+            if constrain:
+                # The conv-containing debranches lower under nn.vmap to
+                # grouped convolutions whose feature-group dimension GSPMD
+                # cannot split; pin the grouped layout to shard the PER-DOMAIN
+                # batch axis (axis 1) and replicate the domain axis so the
+                # per-shard convs stay valid. The MLP/MLPFM debranches are
+                # pure matmuls (PointwiseConv) — no constraint needed: the
+                # (D·B)→(D, B/D) reshape propagates the batch sharding onto a
+                # (D-ways, B/D-ways) tiling GSPMD partitions with zero
+                # resharding collectives.
                 grouped = jax.tree_util.tree_map(
                     lambda f: jax.lax.with_sharding_constraint(
                         f, aux_sharding), grouped
                 )
             aux = debranch(grouped, None, train)  # (D, B/D, H, W, 1)
-            if aux_sharding is not None:
+            if constrain:
                 aux = jax.lax.with_sharding_constraint(aux, aux_sharding)
             aux = aux.reshape((b,) + aux.shape[2:])
         elif aux_mode == "select":

@@ -33,6 +33,16 @@ def _bn(c, dtype, name):
     return make_bn(c, NormSpec(), dtype, name=name)
 
 
+def _pair(size) -> tuple[int, int]:
+    """(H, W) from an int or a 2-sequence. TransFuse_L_384 is non-square:
+    the reference interpolates the DeiT pos-embed to a (24, 32) token grid,
+    i.e. a 384×512 input (``DeiT.py:178-181``, ``TransFuse.py:443``)."""
+    if isinstance(size, int):
+        return (size, size)
+    h, w = size
+    return (int(h), int(w))
+
+
 # ----------------------------- ResNet branch ------------------------------
 
 
@@ -169,7 +179,7 @@ class DeiT(nn.Module):
     embed over the actual grid (``DeiT.py:104-111,129-137``), pre-LN blocks,
     final LN. Returns tokens (B, N, C)."""
 
-    img_size: int = 256
+    img_size: int | Sequence[int] = 256
     patch_size: int = 16
     embed_dim: int = 384
     depth: int = 8
@@ -185,15 +195,16 @@ class DeiT(nn.Module):
         from mdvit_tpu.ops.layers import Mlp
         from mdvit_tpu.ops.norm import DomainLayerNorm
 
-        g = self.img_size // self.patch_size
+        ih, iw = _pair(self.img_size)
+        gh, gw = ih // self.patch_size, iw // self.patch_size
         x = conv2d(self.embed_dim, self.patch_size, self.patch_size, 0,
                    dtype=self.dtype, name="patch_embed")(x)
         b = x.shape[0]
-        x = x.reshape(b, g * g, self.embed_dim)
+        x = x.reshape(b, gh * gw, self.embed_dim)
         pos = self.param(
             "pos_embed",
             lambda key, shape: 0.02 * jax.random.normal(key, shape),
-            (1, g * g, self.embed_dim),
+            (1, gh * gw, self.embed_dim),
         )
         x = x + pos.astype(x.dtype)
         x = nn.Dropout(self.drop, deterministic=not train)(x)
@@ -361,7 +372,7 @@ class TransFuse(nn.Module):
     ``(map_x, map_1, map_2)`` as NHWC logits; eval uses map_2
     (``multi_train_TransFuse.py:164-172,240-243``)."""
 
-    img_size: int = 256
+    img_size: int | Sequence[int] = 256
     num_classes: int = 1
     variant: str = "S"  # 'S' | 'L'
     sup: bool = False  # DeiT Sup gate (TransFuse_S_adapt)
@@ -383,13 +394,14 @@ class TransFuse(nn.Module):
             u1, u2 = 512, 256
             head_mid = 256
 
-        g = self.img_size // 16
+        ih, iw = _pair(self.img_size)
+        gh, gw = ih // 16, iw // 16
         tokens = DeiT(
-            img_size=self.img_size, embed_dim=ed, depth=depth,
+            img_size=(ih, iw), embed_dim=ed, depth=depth,
             num_heads=heads, sup=self.sup, num_domains=self.num_domains,
             dtype=self.dtype, name="transformer",
         )(x, domain_onehot, train)
-        x_b = tokens.reshape(x.shape[0], g, g, ed)
+        x_b = tokens.reshape(x.shape[0], gh, gw, ed)
         drop = lambda t, name: Dropout2d(self.drop_rate, name=name)(t, train)
         x_b = drop(x_b, "drop_b")
         x_b_1 = drop(UpBlock(u1, dtype=self.dtype, name="up1")(x_b, None, train),
@@ -426,7 +438,7 @@ class TransFuse(nn.Module):
             return ConvBnRelu(self.num_classes, 3, bn=False, relu=False,
                               dtype=self.dtype, name=f"{name}_2")(t, train)
 
-        full = (self.img_size, self.img_size)
+        full = (ih, iw)
         map_x = resize_bilinear_align_corners(head(x_c, c3, "final_x"), full)
         map_1 = resize_bilinear_align_corners(head(x_b_2, None, "final_1"), full)
         map_2 = resize_bilinear_align_corners(head(x_c_2, None, "final_2"), full)
@@ -455,4 +467,16 @@ def build_transfuse_l(img_size=256, num_domains=4, adapt_method=None,
                       dtype=jnp.float32, **kw):
     kw.pop("decoder_name", None)
     return TransFuse(img_size=img_size, variant="L", sup=False,
+                     num_domains=num_domains, dtype=dtype, **kw)
+
+
+@register_model("TransFuse_L_384")
+def build_transfuse_l_384(img_size=None, num_domains=4, adapt_method=None,
+                          dtype=jnp.float32, **kw):
+    """The 384 L variant (``TransFuse.py:394-496``) is defined for a FIXED
+    non-square 384×512 input — its DeiT-base pos-embed is interpolated to a
+    (24, 32) token grid (``DeiT.py:168-181``). ``img_size`` from the config is
+    ignored, matching the reference's hardcoded geometry."""
+    kw.pop("decoder_name", None)
+    return TransFuse(img_size=(384, 512), variant="L", sup=False,
                      num_domains=num_domains, dtype=dtype, **kw)

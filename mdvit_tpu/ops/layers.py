@@ -94,6 +94,36 @@ def conv2d(
     )
 
 
+class PointwiseConv(nn.Module):
+    """1×1 conv expressed as a feature-axis matmul (``dot_general``).
+
+    Identical math, params, and init to ``conv2d(features, 1, 1, 0)`` —
+    kernel ``(1, 1, C, O)``, bias ``(O,)``, kaiming-fan_out — but lowers to a
+    dot instead of a convolution. This matters inside ``nn.vmap``-stacked
+    per-domain modules (the MKD debranches, models/mdvit.py): a vmapped conv
+    lowers to a grouped convolution whose feature-group dimension GSPMD
+    cannot partition (it forces involuntary full rematerialization under a
+    data-parallel mesh), while a vmapped dot is a batched matmul GSPMD
+    shards cleanly.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", conv_kaiming_fanout(1), (1, 1, c, self.features)
+        )
+        y = jnp.dot(x.astype(self.dtype), kernel[0, 0].astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def dense(features: int, use_bias: bool = True, dtype=jnp.float32, name=None):
     return nn.Dense(
         features=features,

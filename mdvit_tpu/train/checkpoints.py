@@ -34,8 +34,23 @@ def save_pytree(path: str, tree: Any) -> None:
 def restore_pytree(path: str, like: Any | None = None) -> Any:
     ckptr = ocp.PyTreeCheckpointer()
     if like is not None:
+        # Explicit per-leaf restore placement from ``like``. Without this,
+        # orbax consults the checkpoint's ``_sharding`` file — which is
+        # INCOMPLETE when the state was saved under a data-parallel mesh
+        # (GSPMD-chosen leaf shardings are not all serializable, so orbax
+        # silently skips recording them) — and restore dies with a JSON
+        # pointer error. Placement from the live ``like`` tree also makes
+        # checkpoints topology-portable (save on N chips, restore on M).
+        def _ra(leaf):
+            if isinstance(leaf, jax.Array):
+                return ocp.ArrayRestoreArgs(sharding=leaf.sharding,
+                                            dtype=leaf.dtype)
+            return ocp.RestoreArgs()
+
+        restore_args = jax.tree_util.tree_map(_ra, like)
         return ckptr.restore(
-            _abs(path), args=ocp.args.PyTreeRestore(item=like)
+            _abs(path),
+            args=ocp.args.PyTreeRestore(item=like, restore_args=restore_args),
         )
     return ckptr.restore(_abs(path))
 
@@ -64,6 +79,18 @@ class CheckpointWriter:
                 if ".orbax-checkpoint-tmp" in name:
                     shutil.rmtree(os.path.join(exp_dir, name),
                                   ignore_errors=True)
+            # a leftover complete ``<path>.w`` (kill happened after the async
+            # write finished but before the next-save swap) is the NEWEST
+            # state on disk — promote it now rather than rmtree-ing it in
+            # _save, which would regress durability to the older ``<path>``
+            # (or to nothing, if the kill hit during the first-ever save)
+            for base in ("best", "last"):
+                path = os.path.join(exp_dir, base)
+                w = path + ".w"
+                if os.path.isdir(w):
+                    if os.path.isdir(path):
+                        shutil.rmtree(path)
+                    os.rename(w, path)
 
     def _save(self, path: str, tree: Any) -> None:
         self.finalize()

@@ -72,7 +72,10 @@ def flat_adamw(
         if weight_decay != 0.0:
             p, _ = ravel_pytree(params)
             upd = upd + weight_decay * p.astype(jnp.float32)
-        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        # schedules evaluate at the PRE-increment count, exactly like
+        # optax.scale_by_schedule (first update uses schedule(0))
+        lr = (learning_rate(state.count) if callable(learning_rate)
+              else learning_rate)
         upd = -lr * upd
         return unravel(upd), FlatAdamState(count=count, m=m, v=v)
 

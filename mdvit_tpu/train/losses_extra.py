@@ -119,9 +119,7 @@ def _per_mask(segmentation: np.ndarray, fn) -> np.ndarray:
     """Apply ``fn(posmask) -> map`` over (B, C, ...) skipping empty masks,
     honoring the reference's background-skip rule (class 0 skipped iff C>1)."""
     seg = segmentation.astype(np.uint8)
-    if seg.ndim == 4 and seg.shape[1] not in (1,):  # (B,C,H,W) already
-        pass
-    if seg.ndim == 3:  # (B,H,W) → (B,1,H,W)
+    if seg.ndim == 3:  # (B,H,W) → (B,1,H,W); (B,C,H,W) passes through
         seg = seg[:, None]
     out = np.zeros(seg.shape, np.float64)
     dis_id = 0 if seg.shape[1] == 1 else 1

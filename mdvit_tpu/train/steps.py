@@ -241,7 +241,7 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, mkd: bool = True) -> Callable:
+def make_eval_step(model, mkd: bool = True, data_sharding=None) -> Callable:
     """Jitted eval step returning masked overlap counts + loss sums so the
     host can reproduce the reference's batch-weighted averages exactly
     (``multi_train_MDViT.py:273-291``), padding-safe.
@@ -258,6 +258,11 @@ def make_eval_step(model, mkd: bool = True) -> Callable:
     def step(params, batch_stats, images, masks, onehot, valid,
              aux_vars=None):
         x, y = eval_transform(images, masks)
+        if data_sharding is not None:
+            # DP eval: shard the (padded, evenly divisible) batch over the
+            # mesh; the masked count/loss sums become psums automatically
+            x = jax.lax.with_sharding_constraint(x, data_sharding)
+            y = jax.lax.with_sharding_constraint(y, data_sharding)
         kwargs = {}
         if mkd:
             kwargs["aux_mode"] = (

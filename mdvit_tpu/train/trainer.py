@@ -67,6 +67,12 @@ def build_model_from_config(config):
     )
     if str(config.tpu.compute_dtype) == "bfloat16":
         kwargs["dtype"] = jnp.bfloat16
+    # optional architecture overrides (tiny models for CPU tests/benches);
+    # lists → tuples so flax dataclass attributes stay hashable
+    extra = config.get("model_kwargs") or {}
+    kwargs.update({
+        k: tuple(v) if isinstance(v, list) else v for k, v in extra.items()
+    })
     return get_model(name, **kwargs)
 
 
@@ -115,8 +121,35 @@ class Trainer:
         for n in names:
             print(f"{n} has {len(self.data[n]['train'])} training samples")
 
-        self.store = DeviceDomainStore([self.data[n]["train"] for n in names])
         self.batch_size = int(config.train.batch_size)
+
+        # ---- data-parallel mesh (auto-engages when >1 device is visible,
+        # like the reference's DataParallel, ``multi_train_MDViT.py:73-74``).
+        # ``tpu.mesh.data`` caps the device count (-1 = all); the mesh size is
+        # shrunk to the largest divisor of the stacked batch so every shard
+        # is even. Single-device behaviour is exactly unchanged (no mesh).
+        mesh_cfg = config.tpu.get("mesh") or {}
+        want = int(mesh_cfg.get("data", -1) or -1)
+        avail = len(jax.devices())
+        n_mesh = avail if want in (-1, 0) else min(want, avail)
+        total_batch = self.num_domains * self.batch_size
+        while n_mesh > 1 and total_batch % n_mesh:
+            n_mesh -= 1
+        from mdvit_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, replicated,
+        )
+        self.mesh = None
+        self.data_sharding = None
+        if n_mesh > 1:
+            self.mesh = make_mesh(n_mesh)
+            self.data_sharding = batch_sharding(self.mesh)
+            print(f"data-parallel mesh over {n_mesh} devices "
+                  f"(global batch {total_batch})")
+
+        self.store = DeviceDomainStore(
+            [self.data[n]["train"] for n in names],
+            sharding=replicated(self.mesh) if self.mesh is not None else None,
+        )
         self.sampler = RoundRobinSampler(
             self.store.sizes, self.batch_size, seed=int(config.get("seed", 42))
         )
@@ -146,6 +179,7 @@ class Trainer:
             rng=jax.random.PRNGKey(int(config.get("seed", 42))),
         )
 
+        self.state = self._place_on_mesh(self.state)
         self.train_step = make_train_step(
             self.model,
             self.tx,
@@ -156,11 +190,26 @@ class Trainer:
             device_augment=bool(config.tpu.get("device_augment", True))
             and bool(config.data.train_aug),
             donate=bool(config.tpu.get("donate", True)),
+            data_sharding=self.data_sharding,
         )
-        self.eval_step = make_eval_step(self.model, mkd=self.mkd)
+        self.eval_step = make_eval_step(self.model, mkd=self.mkd,
+                                        data_sharding=self.data_sharding)
         self.max_iou = 0.0
         self.best_epoch = 0
         self.start_epoch = 0
+
+    # ------------------------------------------------------------------
+    def _place_on_mesh(self, tree):
+        """Replicate every array over the DP mesh (no-op without a mesh).
+        Init and checkpoint-restore place arrays on a single device; the
+        sharded train/eval steps need them resident mesh-wide."""
+        if self.mesh is None:
+            return tree
+        from mdvit_tpu.parallel.mesh import replicated
+        sh = replicated(self.mesh)
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sh) if isinstance(a, jax.Array)
+            else a, tree)
 
     # ------------------------------------------------------------------
     def maybe_resume(self):
@@ -176,14 +225,40 @@ class Trainer:
         restored = ckpt.try_load_last(self.exp_dir, like)
         if restored is None:
             return
-        self.state = TrainState(
+        self.state = self._place_on_mesh(TrainState(
             step=restored["step"], params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"], rng=restored["rng"],
-        )
+        ))
         self.start_epoch = int(restored["epoch"]) + 1
         self.max_iou = float(restored["max_iou"])
+        # `last` is saved every save_last_every epochs but `best` updates every
+        # epoch; take the per-epoch sidecar's max_iou so a post-resume epoch
+        # can never overwrite a better `best` checkpoint with a worse model
+        meta = self._read_best_meta()
+        if meta is not None and float(meta.get("max_iou", 0.0)) > self.max_iou:
+            self.max_iou = float(meta["max_iou"])
+            self.best_epoch = int(meta.get("best_epoch", self.best_epoch))
         print(f"resumed from epoch {self.start_epoch - 1}")
+
+    def _best_meta_path(self) -> str:
+        return os.path.join(self.exp_dir, "best_meta.json")
+
+    def _read_best_meta(self):
+        import json
+        try:
+            with open(self._best_meta_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _write_best_meta(self):
+        import json
+        tmp = self._best_meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"max_iou": self.max_iou,
+                       "best_epoch": self.best_epoch}, f)
+        os.replace(tmp, self._best_meta_path())
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> dict:
@@ -247,7 +322,10 @@ class Trainer:
         }
         gstep = step0 + len(steps)
         # lr per epoch (reference: multi_train_MDViT.py:326). The schedule is
-        # step-indexed; recompute it host-side from the config.
+        # step-indexed; recompute it host-side from the config. optax's
+        # scale_by_schedule evaluates at the PRE-increment count, so the rate
+        # the epoch's last update actually used is schedule(gstep - 1) — at a
+        # StepLR boundary schedule(gstep) would report the NEXT epoch's lr.
         from mdvit_tpu.train.optim import steplr_schedule
         sched_cfg = self.config.train.get("scheduler", {})
         opt = self.config.train.optimizer
@@ -255,7 +333,8 @@ class Trainer:
             opt.adamw.lr if opt.mode == "adamw" else opt.adam.lr)
         lr_now = float(steplr_schedule(
             base_lr, int(sched_cfg.get("step_size", 50)),
-            float(sched_cfg.get("gamma", 0.5)), self.steps_per_epoch)(gstep))
+            float(sched_cfg.get("gamma", 0.5)), self.steps_per_epoch)(
+                max(gstep - 1, 0)))
         self.logger.add_scalar("Train/lr", lr_now, epoch)
         self.logger.add_scalar(
             "Train/Average/sum_loss", epoch_mean["loss"], gstep)
@@ -281,6 +360,12 @@ class Trainer:
         """Per-domain batch-weighted loss/dice/iou (reference protocol)."""
         results = {}
         eval_bs = int(self.config.test.batch_size)
+        if self.mesh is not None:
+            # even shards for the sharded eval step; eval_batches pads the
+            # ragged tail and metrics mask by valid count, so rounding the
+            # batch up changes nothing but the padding amount
+            n = int(self.mesh.devices.size)
+            eval_bs = ((eval_bs + n - 1) // n) * n
         for di, n in enumerate(self.names):
             dom = self.data[n][split]
             loss_sum = dice_sum = iou_sum = 0.0
@@ -361,6 +446,7 @@ class Trainer:
                 writer.save_best(self.state.params, self.state.batch_stats)
                 self.max_iou = avg_iou
                 self.best_epoch = epoch
+                self._write_best_meta()
                 print(f"New best epoch {epoch}!===============================")
             every = int(self.config.train.get("save_last_every", 5) or 1)
             if (epoch + 1) % every == 0 or epoch == epochs - 1:
@@ -394,9 +480,9 @@ class Trainer:
                             "batch_stats": full["batch_stats"]}
         else:
             restored = ckpt.restore_pytree(model_dir, like)
-        self.state = self.state.replace(
+        self.state = self._place_on_mesh(self.state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"]
-        )
+        ))
         results = self.evaluate("test")
         df = results_table(self.names, results)
         df.to_csv(os.path.join(self.exp_dir, "test_results.csv"), index=False)

@@ -72,18 +72,20 @@ def convert_resnet(sd: dict, arch: str = "resnet34"):
     return params, stats
 
 
-def resize_pos_embed(pe: np.ndarray, grid: int) -> np.ndarray:
-    """Drop cls token and bilinearly resize to (grid, grid) — the reference's
-    DeiT trick (``DeiT.py:104-111``), align_corners=True."""
+def resize_pos_embed(pe: np.ndarray, grid) -> np.ndarray:
+    """Drop cls token and bilinearly resize to ``grid`` (int or (gh, gw)) —
+    the reference's DeiT trick (``DeiT.py:104-111``; non-square (24, 32) for
+    deit_base_384, ``DeiT.py:178-181``), align_corners=True."""
+    gh, gw = (grid, grid) if isinstance(grid, int) else (grid[0], grid[1])
     pe = pe[:, 1:, :]  # remove cls
     n = pe.shape[1]
     side = int(np.sqrt(n))
     c = pe.shape[2]
     img = pe.reshape(side, side, c)
-    if side == grid:
-        return img.reshape(1, grid * grid, c)
-    ys = np.linspace(0, side - 1, grid)
-    xs = np.linspace(0, side - 1, grid)
+    if (side, side) == (gh, gw):
+        return img.reshape(1, gh * gw, c)
+    ys = np.linspace(0, side - 1, gh)
+    xs = np.linspace(0, side - 1, gw)
     y0 = np.floor(ys).astype(int)
     x0 = np.floor(xs).astype(int)
     y1 = np.minimum(y0 + 1, side - 1)
@@ -93,7 +95,7 @@ def resize_pos_embed(pe: np.ndarray, grid: int) -> np.ndarray:
     top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
     bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
     out = top * (1 - fy) + bot * fy
-    return out.reshape(1, grid * grid, c).astype(pe.dtype)
+    return out.reshape(1, gh * gw, c).astype(pe.dtype)
 
 
 def convert_deit(sd: dict, grid: int, depth: int):

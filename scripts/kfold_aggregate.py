@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """K-fold result aggregator — the script version of the reference's
 ``Evaluation/k_fold_val.ipynb`` (cells 2-5): stack each fold's
-``test_results.csv``, report mean±std per dataset, write ``k_fold.csv``.
+``test_results.csv`` positionally, mean/std over folds per numeric column,
+write ``k_fold.csv`` with the notebook's ``<col>_m`` / ``<col>_s`` schema.
+Std is population std (the notebook uses ``np.std``, ddof=0).
 
 Usage:
     python scripts/kfold_aggregate.py --exp_dirs results/run_fold0 ... \
@@ -12,6 +14,7 @@ from __future__ import annotations
 import argparse
 import os
 
+import numpy as np
 import pandas as pd
 
 
@@ -19,22 +22,19 @@ def aggregate(exp_dirs: list[str]) -> pd.DataFrame:
     frames = []
     for d in exp_dirs:
         path = os.path.join(d, "test_results.csv")
-        df = pd.read_csv(path)
-        df["fold"] = d
-        frames.append(df)
-    allf = pd.concat(frames, ignore_index=True)
-    rows = []
-    for name, grp in allf.groupby("Name", sort=False):
-        rows.append({
-            "Name": name,
-            "Di_score_mean": grp["Di_score"].mean(),
-            "Di_score_std": grp["Di_score"].std(ddof=1),
-            "IOU_mean": grp["IOU"].mean(),
-            "IOU_std": grp["IOU"].std(ddof=1),
-            "loss_mean": grp["loss"].mean(),
-            "n_folds": len(grp),
-        })
-    return pd.DataFrame(rows)
+        frames.append(pd.read_csv(path))
+    # cells 3-4: np.stack over folds (rows must align: per-dataset + Total)
+    arr = np.stack([f.values for f in frames], axis=0)
+    head = frames[0].columns
+    vals = arr[:, :, 1:].astype(float)
+    avg = np.mean(vals, axis=0)
+    std = np.std(vals, axis=0)  # population std — notebook cell 4
+    # cell 5 schema: Name column then <col>_m, <col>_s pairs in csv order
+    data = {head[0]: arr[0, :, 0]}
+    for j, col in enumerate(head[1:]):
+        data[f"{col}_m"] = avg[:, j]
+        data[f"{col}_s"] = std[:, j]
+    return pd.DataFrame(data)
 
 
 def main():

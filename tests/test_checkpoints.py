@@ -79,6 +79,29 @@ def test_pending_sibling_preferred_over_swapped(tmp_path):
     w.close()
 
 
+def test_init_promotes_leftover_pending_sibling(tmp_path):
+    """A kill after the async write finished but before the swap leaves a
+    complete `last.w` as the NEWEST state on disk. A fresh writer must promote
+    it to `last` at init — the old behaviour rmtree'd it in the next _save,
+    regressing durability to an older (or nonexistent) checkpoint."""
+    d = str(tmp_path)
+    w = ckpt.CheckpointWriter(d)
+    w.save_last(_State(5), epoch=4, max_iou=0.5)
+    w._ckptr.wait_until_finished()  # complete at last.w, NOT swapped (kill)
+    assert os.path.isdir(os.path.join(d, "last.w"))
+
+    w2 = ckpt.CheckpointWriter(d)  # fresh process after the kill
+    assert os.path.isdir(os.path.join(d, "last"))
+    assert not os.path.isdir(os.path.join(d, "last.w"))
+    got = ckpt.try_load_last(d)
+    assert int(got["epoch"]) == 4
+    # the promoted checkpoint survives a subsequent save cycle
+    w2.save_last(_State(6), epoch=5, max_iou=0.6)
+    w2.close()
+    assert int(ckpt.try_load_last(d)["epoch"]) == 5
+    w.close()
+
+
 def test_results_table_total_row():
     """Regression: the Total Dice/IoU must average over ALL datasets — the
     old in-line code sliced [:-1] before Total was appended and silently

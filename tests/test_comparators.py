@@ -52,6 +52,39 @@ def test_utnet_tiny():
     assert out["feat"].shape == (2, 64)
 
 
+def test_transfuse_l_384_registered_geometry():
+    """TransFuse_L_384 (``TransFuse.py:394-496``): fixed non-square 384×512
+    input, (24, 32) token grid, three full-resolution maps. Traced with
+    eval_shape — the full resnet50+DeiT-base graph never executes on CPU."""
+    from mdvit_tpu.models.registry import get_model
+
+    m = get_model("TransFuse_L_384")
+    x = jax.ShapeDtypeStruct((1, 384, 512, 3), jnp.float32)
+    oh = jax.ShapeDtypeStruct((1, 4), jnp.float32)
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    out_shape, var_shape = jax.eval_shape(
+        lambda k, xx, oo: m.init_with_output(
+            {"params": k, "dropout": k}, xx, oo, train=False), key, x, oh)
+    for mp in out_shape["seg"]:
+        assert mp.shape == (1, 384, 512, 1)
+    # DeiT-base pos-embed at the reference's interpolated (24, 32) grid
+    pe = var_shape["params"]["transformer"]["pos_embed"]
+    assert pe.shape == (1, 24 * 32, 768)
+    # resnet50 bottleneck stage widths reach layer3 = 1024 channels
+    l3 = var_shape["params"]["resnet"]["layer3_0"]["conv3"]["kernel"]
+    assert l3.shape[-1] == 1024
+
+
+def test_transfuse_nonsquare_tiny_runs():
+    """Non-square geometry executes end-to-end at miniature scale."""
+    m = TransFuse(img_size=(32, 64), variant="S", sup=False)
+    x = jnp.zeros((1, 32, 64, 3))
+    v = jax.jit(lambda: m.init(RNGS, x, None, train=False))()
+    out = jax.jit(lambda v: m.apply(v, x, None, train=False))(v)
+    for mp in out["seg"]:
+        assert mp.shape == (1, 32, 64, 1)
+
+
 def test_transfuse_tiny_shapes_and_sup():
     m = TransFuse(img_size=32, variant="S", sup=True, num_domains=4)
     x = jnp.zeros((2, 32, 32, 3))

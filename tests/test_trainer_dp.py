@@ -1,0 +1,80 @@
+"""Production CLI data-parallelism: the Trainer itself must build the mesh
+and shard the train/eval steps when >1 device is visible (reference
+DataParallel auto-engagement, ``multi_train_MDViT.py:73-74``) — round 2 left
+``tpu.mesh`` a dead config key and train.py single-device on any topology.
+
+Runs the REAL Trainer (synthetic data, tiny model via ``model_kwargs``) on
+the 8-virtual-device CPU mesh from conftest.
+"""
+import jax
+import numpy as np
+import pytest
+
+from mdvit_tpu.config import load_config
+from mdvit_tpu.train.trainer import Trainer
+
+TINY_MODEL = {
+    "num_layers": [1, 1, 1, 1],
+    "embed_dims": [8, 8, 8, 8],
+    "mlp_ratios": [1, 1, 1, 1],
+    "num_heads": [8, 8, 8, 8],
+}
+
+
+def _config(tmp_path, batch_size=2, mesh_data=-1):
+    return load_config(overrides={
+        "debug": True,
+        "data": {"img_size": 16, "synthetic": True,
+                 "synthetic_sizes": {"isic2018": [6, 3], "PH2": [6, 3],
+                                     "DMF": [6, 3], "SKD": [6, 3]}},
+        "train": {"num_epochs": 1, "batch_size": batch_size},
+        "test": {"batch_size": 5},
+        "model_kwargs": TINY_MODEL,
+        "tpu": {"compute_dtype": "float32", "mesh": {"data": mesh_data}},
+    })
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device CPU mesh")
+def test_trainer_builds_mesh_and_shards(tmp_path):
+    cfg = _config(tmp_path)  # D·B = 8 divides the 8-device mesh
+    tr = Trainer(cfg, str(tmp_path / "exp"))
+    # the wiring: mesh over all devices, non-trivial batch sharding spec,
+    # replicated device store
+    assert tr.mesh is not None and tr.mesh.devices.size == 8
+    assert tr.data_sharding is not None
+    assert tuple(tr.data_sharding.spec) == ("data",)
+    for arr in tr.store.images + tr.store.masks:
+        assert len(arr.sharding.device_set) == 8
+
+    # a real sharded train epoch through the production path
+    tr.train_epoch(0)
+    assert int(tr.state.step) == 1
+    # the updated state is laid out across the whole mesh (replicated), not
+    # resident on a single device — proof the step executed under the mesh
+    leaf = jax.tree_util.tree_leaves(tr.state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+    # sharded eval through the production path (padded ragged tail: 3 test
+    # samples, eval batch rounded 5 → 8)
+    res = tr.evaluate("test")
+    for n in tr.names:
+        assert np.isfinite(res[n]["loss"])
+        assert 0.0 <= res[n]["dice"] <= 1.0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device CPU mesh")
+def test_trainer_single_device_when_mesh_capped(tmp_path):
+    """tpu.mesh.data=1 must keep the exact single-device behaviour."""
+    cfg = _config(tmp_path, mesh_data=1)
+    tr = Trainer(cfg, str(tmp_path / "exp1"))
+    assert tr.mesh is None and tr.data_sharding is None
+    tr.train_epoch(0)
+    assert int(tr.state.step) == 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device CPU mesh")
+def test_trainer_mesh_shrinks_to_batch_divisor(tmp_path):
+    """global batch 4·3=12 on 8 devices → largest divisor ≤ 8 is 6."""
+    cfg = _config(tmp_path, batch_size=3)
+    tr = Trainer(cfg, str(tmp_path / "exp2"))
+    assert tr.mesh is not None and tr.mesh.devices.size == 6
