@@ -30,6 +30,9 @@ NUM_DOMAINS = 4
 IMG = 256
 WARMUP = 5
 ITERS = 30
+# v5e datasheet: 197 TFLOP/s bf16, 819 GB/s HBM
+PEAK_BF16_FLOPS = 197e12
+PEAK_HBM_GBPS = 819.0
 
 
 def main():
@@ -85,23 +88,55 @@ def main():
             (np.arange(NUM_DOMAINS * b, dtype=np.int32) * (i + 1)) % n_store
         ).reshape(NUM_DOMAINS, b)
 
+    # compile once via AOT so XLA's cost analysis (flops / bytes accessed)
+    # can be read off the same executable that is timed
+    run = step
+    flops = bytes_acc = None
+    try:
+        compiled = step.lower(state, images, masks, idx(0)).compile()
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0)) or None
+            bytes_acc = float(ca.get("bytes accessed", 0)) or None
+        except Exception:
+            pass
+        state, metrics = compiled(state, images, masks, idx(0))
+        run = compiled
+    except Exception:
+        run = step  # fall back to the jit dispatch path
+
     for i in range(WARMUP):
-        state, metrics = step(state, images, masks, idx(i))
+        state, metrics = run(state, images, masks, idx(i))
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
     for i in range(ITERS):
-        state, metrics = step(state, images, masks, idx(i))
+        state, metrics = run(state, images, masks, idx(i))
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
     imgs_per_sec = NUM_DOMAINS * b * ITERS / dt
-    print(json.dumps({
+    out = {
         "metric": "mdvit_4domain_256_train_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
-    }))
+    }
+    step_s = dt / ITERS
+    if flops:
+        # model-flops utilization vs the v5e bf16 peak (XLA-counted flops
+        # include the augment/optimizer tail, so this is an upper-ish bound)
+        out["mfu"] = round(flops / step_s / PEAK_BF16_FLOPS, 4)
+        out["gflops_per_img"] = round(flops / (NUM_DOMAINS * b) / 1e9, 1)
+    if bytes_acc:
+        # XLA-estimated HBM traffic; the roofline companion to img/s
+        out["gbytes_per_img"] = round(
+            bytes_acc / (NUM_DOMAINS * b) / 1e9, 3)
+        out["hbm_util"] = round(
+            bytes_acc / step_s / 1e9 / PEAK_HBM_GBPS, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

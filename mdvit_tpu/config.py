@@ -77,7 +77,8 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "compute_dtype": "bfloat16",  # 'bfloat16' | 'float32' — bf16 activations / fp32 params+norms track fp32 convergence epoch-for-epoch (Dice deltas < 0.002 over 6-epoch runs)
         "device_augment": True,  # run augmentations inside the jitted step
         "donate": True,
-        "remat": False,
+        "remat": False,  # jax.checkpoint the forward: recompute activations
+        # in the backward (memory for FLOPs; see train/steps.py)
     },
     "log": {"every_steps": 10, "backend": "csv"},
 }

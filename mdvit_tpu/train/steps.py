@@ -95,12 +95,18 @@ def make_train_step(
     device_augment: bool = True,
     donate: bool = True,
     data_sharding=None,
+    remat: bool = False,
 ) -> Callable:
     """Build the jitted multi-domain train step.
 
     Signature: ``step(state, images_tuple, masks_tuple, indices) ->
     (state, metrics)`` where images/masks are the device-resident per-domain
     uint8 stores and ``indices`` is (D, B) int32.
+
+    ``remat=True`` (config ``tpu.remat``) wraps the model forward in
+    ``jax.checkpoint``: activations are recomputed during the backward
+    instead of stored — ~⅓ more FLOPs for a large activation-memory cut
+    (useful for bigger images/batches than the reference recipe).
     """
 
     def step(state: TrainState, images, masks, indices):
@@ -125,15 +131,22 @@ def make_train_step(
                 data_sharding.mesh, PartitionSpec(None, *data_sharding.spec)
             )
 
-        def loss_fn(params):
+        def forward(params, batch_stats, xv, oh, dr):
             kwargs = {"aux_mode": "grouped"} if mkd else {}
             if aux_sharding is not None:
                 kwargs["aux_sharding"] = aux_sharding
-            out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                x, onehot, train=True, mutable=["batch_stats"],
-                rngs={"dropout": drop_rng}, **kwargs,
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                xv, oh, train=True, mutable=["batch_stats"],
+                rngs={"dropout": dr}, **kwargs,
             )
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            out, updates = forward(params, state.batch_stats, x, onehot,
+                                   drop_rng)
             seg_out = out["seg"]
             if isinstance(seg_out, tuple) and len(seg_out) == 3:
                 # TransFuse deep supervision: 0.5·L(map_2)+0.3·L(map_1)+

@@ -191,6 +191,7 @@ class Trainer:
             and bool(config.data.train_aug),
             donate=bool(config.tpu.get("donate", True)),
             data_sharding=self.data_sharding,
+            remat=bool(config.tpu.get("remat", False)),
         )
         self.eval_step = make_eval_step(self.model, mkd=self.mkd,
                                         data_sharding=self.data_sharding)

@@ -69,6 +69,32 @@ def test_train_step_runs_and_updates():
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
 
+def test_remat_step_matches_plain_step():
+    """tpu.remat wraps the forward in jax.checkpoint — identical math, only
+    the backward's activation schedule changes. Params/stats/metrics after
+    one step must match the plain step to float tolerance."""
+    model, state, step, (images, masks, idx) = _setup()
+    from mdvit_tpu.models.mdvit import MDViT  # noqa: F811 (clarity)
+    import optax as _optax
+
+    tx = _optax.sgd(1e-2)
+    step_r = make_train_step(model, tx, D, alpha=0.5, det_sup=True,
+                             mkd=True, device_augment=False, donate=False,
+                             remat=True)
+    s1, m1 = step(state, images, masks, idx)
+    s2, m2 = step_r(state, images, masks, idx)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                    jax.tree_util.tree_leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_det_sup_blocks_aux_grads_into_domain_layer():
     """With det_sup, domain_layer grads must equal grads of uni loss only:
     compare updates between det_sup runs at alpha=0 (uni = seg only) where a
