@@ -17,8 +17,21 @@ import tempfile
 import numpy as np
 
 _LIB = None
-_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
-                    "npy_loader.cpp")
+
+
+def _find_src() -> str | None:
+    """Locate csrc/npy_loader.cpp: explicit env override first, then the
+    repo-checkout layout (two levels up from this module). A wheel install
+    without the csrc tree simply falls back to the numpy loader."""
+    cand = [os.environ.get("MDVIT_CSRC", "")] if os.environ.get(
+        "MDVIT_CSRC") else []
+    cand.append(os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
+                             "npy_loader.cpp"))
+    for c in cand:
+        c = os.path.abspath(c)
+        if os.path.isfile(c):
+            return c
+    return None
 
 
 def _so_path(src: str) -> str:
@@ -50,8 +63,8 @@ def get_lib():
     global _LIB
     if _LIB is not None:
         return _LIB
-    src = os.path.abspath(_SRC)
-    if not os.path.exists(src):
+    src = _find_src()
+    if src is None:
         _LIB = False
         return False
     so = _so_path(src)
