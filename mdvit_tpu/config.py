@@ -22,6 +22,8 @@ from mdvit_tpu.utils.pieces import DotDict
 DEFAULT_CONFIG: dict[str, Any] = {
     "name": "mdvit_tpu experiment",
     "root_dir": ".",
+    "pretrained_folder": "",  # dir of converted backbone trees (TransFuse;
+    # see scripts/convert_torch_weights.py + train/pretrained.py)
     "device": "tpu",
     "debug": False,  # True: one batch per train/val/test loop, one epoch
     "seed": 42,

@@ -167,6 +167,18 @@ class Trainer:
             jnp.eye(self.num_domains, dtype=jnp.float32), self.batch_size, 0
         )
         params, batch_stats = init_state(config, self.model, (x0, oh0))
+        if config.get("pretrained_folder"):
+            # reference parity: TransFuse always starts from ImageNet
+            # backbones (``TransFuse.py:86,189,293``); trees are produced
+            # offline by scripts/convert_torch_weights.py
+            from mdvit_tpu.train.pretrained import apply_pretrained
+
+            params, batch_stats, report = apply_pretrained(
+                params, batch_stats, config.model,
+                str(config.pretrained_folder), int(config.data.img_size),
+            )
+            if report:
+                print(report)
         n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
         print(f"{n_params / 1e6}M total trainable parameters")
 

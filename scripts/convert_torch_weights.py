@@ -150,7 +150,10 @@ def main():
         blob = {"params": params, "batch_stats": stats}
     else:
         depth = 8 if args.arch == "deit_small" else 12
-        blob = {"params": convert_deit(sd, args.grid, depth)}
+        g = args.grid
+        blob = {"params": convert_deit(sd, g, depth),
+                "meta": {"arch": args.arch,
+                         "grid": [g, g] if isinstance(g, int) else list(g)}}
     with open(args.out, "wb") as f:
         f.write(msgpack_serialize(blob))
     print(f"wrote {args.out}")
