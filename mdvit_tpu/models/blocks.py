@@ -59,19 +59,34 @@ def grid_to_tokens(x: jax.Array) -> jax.Array:
 
 
 class ConvPosEnc(nn.Module):
-    """Depthwise-conv positional encoding with residual (``mpvit.py:229``)."""
+    """Depthwise-conv positional encoding with residual (``mpvit.py:229``).
+
+    ``axis_name`` (context parallelism): tokens are a row shard of the global
+    grid; a ppermute halo exchange of ``k//2`` rows replaces the zero padding
+    on H (parallel/context.py), keeping the conv output exactly the global
+    conv's rows for this shard. Param tree is identical either way.
+    """
 
     dim: int
     k: int = 3
+    axis_name: str | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, size: Tuple[int, int]) -> jax.Array:
         feat = tokens_to_grid(x, size)
+        pad = self.k // 2
+        if self.axis_name is None:
+            inp, padding = feat, pad
+        else:
+            from mdvit_tpu.parallel.context import halo_exchange_rows
+
+            inp = halo_exchange_rows(feat, pad, self.axis_name)
+            padding = ((0, 0), (pad, pad))
         out = conv2d(
-            self.dim, self.k, 1, self.k // 2, groups=self.dim,
+            self.dim, self.k, 1, padding, groups=self.dim,
             dtype=self.dtype, name="proj",
-        )(feat)
+        )(inp)
         return grid_to_tokens(out + feat)
 
 
@@ -88,6 +103,7 @@ class ConvRelPosEnc(nn.Module):
     ch_per_head: int
     num_heads: int
     window: Mapping[int, int] = None  # type: ignore[assignment]
+    axis_name: str | None = None  # context-parallel halo exchange
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -124,11 +140,19 @@ class ConvRelPosEnc(nn.Module):
         bias = jnp.concatenate(bias_parts)
 
         v_img = v.reshape(b, size[0], size[1], h * ch)
+        pad = max_k // 2
+        if self.axis_name is None:
+            h_pad = (pad, pad)
+        else:
+            from mdvit_tpu.parallel.context import halo_exchange_rows
+
+            v_img = halo_exchange_rows(v_img, pad, self.axis_name)
+            h_pad = (0, 0)
         conv_v = jax.lax.conv_general_dilated(
             v_img.astype(self.dtype),
             kernel.astype(self.dtype),
             window_strides=(1, 1),
-            padding=((max_k // 2, max_k // 2), (max_k // 2, max_k // 2)),
+            padding=(h_pad, (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=h * ch,
             precision=_ATT_PREC,
@@ -157,6 +181,7 @@ class FactorAtt(nn.Module):
     r: int = 2
     proj_drop: float = 0.0
     crpe: ConvRelPosEnc = None  # type: ignore[assignment]
+    axis_name: str | None = None  # context-parallel token sharding
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -185,9 +210,9 @@ class FactorAtt(nn.Module):
         # XLA-fused chain or the Pallas kernel (ops/pallas_attention.py).
         from mdvit_tpu.ops.pallas_attention import dispatch_factorized_attention
 
-        factor_att = dispatch_factorized_attention(q, k, v, ch, scale).astype(
-            q.dtype
-        )
+        factor_att = dispatch_factorized_attention(
+            q, k, v, ch, scale, self.axis_name
+        ).astype(q.dtype)
 
         crpe = self.crpe(q, v, size)
         out = factor_att + crpe  # (B, N, C); scale folded into the kernel
@@ -205,7 +230,8 @@ class FactorAtt(nn.Module):
             out = out * gate.reshape(b, 1, c).astype(out.dtype)
 
         out = dense(c, dtype=self.dtype, name="proj")(out)
-        out = FastDropout(self.proj_drop, name="proj_drop")(out, train)
+        out = FastDropout(self.proj_drop, axis_name=self.axis_name,
+                          name="proj_drop")(out, train)
         return out
 
 
@@ -225,6 +251,7 @@ class SerialBlock(nn.Module):
     num_domains: int = 4
     cpe: ConvPosEnc = None  # type: ignore[assignment]
     crpe: ConvRelPosEnc = None  # type: ignore[assignment]
+    axis_name: str | None = None  # context-parallel token sharding
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -252,6 +279,7 @@ class SerialBlock(nn.Module):
             num_domains=self.num_domains,
             proj_drop=self.drop,
             crpe=self.crpe,
+            axis_name=self.axis_name,
             dtype=self.dtype,
             name="factoratt_crpe",
         )(cur, size, domain_onehot, train)
@@ -261,6 +289,7 @@ class SerialBlock(nn.Module):
         cur = Mlp(
             hidden_features=int(self.dim * self.mlp_ratio),
             drop=self.drop,
+            axis_name=self.axis_name,
             dtype=self.dtype,
             name="mlp",
         )(cur, train)
@@ -284,14 +313,17 @@ class MHSAStage(nn.Module):
     dsn: bool = False
     num_domains: int = 4
     crpe_window: Mapping[int, int] = None  # type: ignore[assignment]
+    axis_name: str | None = None  # context-parallel token sharding
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.cpe = ConvPosEnc(dim=self.dim, k=3, dtype=self.dtype)
+        self.cpe = ConvPosEnc(dim=self.dim, k=3, axis_name=self.axis_name,
+                              dtype=self.dtype)
         self.crpe = ConvRelPosEnc(
             ch_per_head=self.dim // self.num_heads,
             num_heads=self.num_heads,
             window=self.crpe_window or DEFAULT_CRPE_WINDOW,
+            axis_name=self.axis_name,
             dtype=self.dtype,
         )
         self.blocks = [
@@ -310,6 +342,7 @@ class MHSAStage(nn.Module):
                 num_domains=self.num_domains,
                 cpe=self.cpe,
                 crpe=self.crpe,
+                axis_name=self.axis_name,
                 dtype=self.dtype,
                 name=f"block{i}",
             )

@@ -66,23 +66,30 @@ def conv2d(
     features: int,
     kernel_size: int | Sequence[int],
     stride: int = 1,
-    padding: int | None = None,
+    padding: int | tuple | None = None,
     groups: int = 1,
     use_bias: bool = True,
     dilation: int = 1,
     dtype=jnp.float32,
     name: str | None = None,
 ) -> nn.Conv:
-    """torch-parity Conv2d: explicit symmetric padding, kaiming-fan_out init."""
+    """torch-parity Conv2d: explicit symmetric padding, kaiming-fan_out init.
+
+    ``padding`` may be an int (symmetric both axes) or an explicit
+    ``((top, bottom), (left, right))`` tuple — the context-parallel conv path
+    uses per-axis padding after a row-halo exchange (parallel/context.py).
+    """
     if isinstance(kernel_size, int):
         kernel_size = (kernel_size, kernel_size)
     if padding is None:
         padding = (kernel_size[0] - 1) // 2 * dilation
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
     return nn.Conv(
         features=features,
         kernel_size=tuple(kernel_size),
         strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
+        padding=padding,
         feature_group_count=groups,
         use_bias=use_bias,
         kernel_dilation=(dilation, dilation),
@@ -279,9 +286,14 @@ class FastDropout(nn.Module):
     25 ms stage for the big (B,N,8C) MLP masks); one tiny threefry draw seeds
     a SplitMix32 hash over element counters instead (see data/augment.py),
     preserving determinism w.r.t. the 'dropout' rng stream.
+
+    Under context parallelism (``axis_name`` set, parallel/context.py) the
+    element counters restart per token shard, so the shard index is folded
+    into the seed to decorrelate the per-shard masks.
     """
 
     rate: float = 0.0
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -291,6 +303,9 @@ class FastDropout(nn.Module):
 
         keep = 1.0 - self.rate
         seed = jax.random.bits(self.make_rng("dropout"), (), jnp.uint32)
+        if self.axis_name is not None:
+            idx = jax.lax.axis_index(self.axis_name).astype(jnp.uint32)
+            seed = seed ^ (idx * jnp.uint32(0x9E3779B9))
         u = fast_uniform(seed, x.shape)
         return jnp.where(u < keep, x / keep, jnp.zeros_like(x))
 
@@ -320,6 +335,7 @@ class Mlp(nn.Module):
     out_features: int | None = None
     act: str = "gelu"
     drop: float = 0.0
+    axis_name: str | None = None  # context-parallel dropout decorrelation
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -327,7 +343,9 @@ class Mlp(nn.Module):
         out_f = self.out_features or x.shape[-1]
         x = dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
         x = get_act(self.act)(x)
-        x = FastDropout(self.drop, name="drop1")(x, train)
+        x = FastDropout(self.drop, axis_name=self.axis_name, name="drop1")(
+            x, train)
         x = dense(out_f, dtype=self.dtype, name="fc2")(x)
-        x = FastDropout(self.drop, name="drop2")(x, train)
+        x = FastDropout(self.drop, axis_name=self.axis_name, name="drop2")(
+            x, train)
         return x

@@ -54,7 +54,12 @@ def attention_impl() -> str:
     return _IMPL
 
 
-def dispatch_factorized_attention(q, k, v, ch: int, scale: float):
+def dispatch_factorized_attention(q, k, v, ch: int, scale: float,
+                                  axis_name: str | None = None):
+    if axis_name is not None:
+        # context-parallel: tokens sharded over `axis_name` (shard_map body);
+        # the fused kernel can't span shards, so use the collective XLA path.
+        return factorized_attention_xla(q, k, v, ch, scale, axis_name)
     if _IMPL == "pallas" and pallas_supported():
         return factorized_attention(q, k, v, ch, scale)
     return factorized_attention_xla(q, k, v, ch, scale)
@@ -180,12 +185,34 @@ def _vjp_bwd(ch, scale, residuals, g):
 factorized_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def factorized_attention_xla(q, k, v, ch: int, scale: float):
-    """Reference XLA path (identical math) for CPU tests and fallback."""
+def factorized_attention_xla(q, k, v, ch: int, scale: float,
+                             axis_name: str | None = None):
+    """Reference XLA path (identical math) for CPU tests and fallback.
+
+    With ``axis_name`` (context parallelism, parallel/context.py) the token
+    axis N is a shard of the global sequence: the column softmax uses a
+    ``pmax``/``psum`` of the (B, 1, C) row stats and the KᵀV Gram matrix is
+    ``psum``-reduced — the only cross-shard communication in the whole
+    attention (O(B·C²) bytes, independent of N).
+    """
     c = q.shape[-1]
-    ks = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(q.dtype)
+    if axis_name is None:
+        ks = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(q.dtype)
+    else:
+        kf = k.astype(jnp.float32)
+        # stop_gradient BEFORE pmax: the max-shift cancels analytically in
+        # softmax, and pmax has no differentiation rule — a zero tangent on
+        # its input lets autodiff skip it entirely.
+        kmax = jax.lax.pmax(
+            jax.lax.stop_gradient(jnp.max(kf, axis=1, keepdims=True)),
+            axis_name)
+        ke = jnp.exp(kf - kmax)
+        denom = jax.lax.psum(jnp.sum(ke, axis=1, keepdims=True), axis_name)
+        ks = (ke / denom).astype(q.dtype)
     ktv = jnp.einsum("bnk,bnv->bkv", ks, v,
                      preferred_element_type=jnp.float32)
+    if axis_name is not None:
+        ktv = jax.lax.psum(ktv, axis_name)
     ids = jnp.arange(c) // ch
     mask = (ids[:, None] == ids[None, :]).astype(ktv.dtype)
     out = jnp.einsum("bnk,bkv->bnv", q, (ktv * mask).astype(q.dtype),
