@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mdvit_tpu.models.blocks import MHSAStage, grid_to_tokens, tokens_to_grid
+from mdvit_tpu.models.blocks import MHSAStage
 from mdvit_tpu.models.registry import register_model
 from mdvit_tpu.ops.layers import ConvBN, DWConvBN, NormSpec, conv2d, dense
 
@@ -90,16 +90,14 @@ class MPViT(nn.Module):
             cur += self.num_layers[i]
             for p, feat in enumerate(paths):
                 size = (feat.shape[1], feat.shape[2])
-                t = grid_to_tokens(feat)
-                t = MHSAStage(
+                outs.append(MHSAStage(
                     dim=dims[i], num_layers=self.num_layers[i],
                     num_heads=self.num_heads[i],
                     mlp_ratio=self.mlp_ratios[i], drop=0.0,
                     drop_path_list=dpr_stage,
                     sup=False, dsn=False, dtype=self.dtype,
                     name=f"stage{i}_path{p}",
-                )(t, size, None, train)
-                outs.append(tokens_to_grid(t, size))
+                )(feat, size, None, train))
             out_dim = dims[i + 1] if i + 1 < 4 else dims[i]
             x = ConvBN(out_dim, 1, 1, 0, act="hardswish", dtype=self.dtype,
                        name=f"stage{i}_aggregate")(

@@ -56,11 +56,24 @@ def attention_impl() -> str:
 
 def dispatch_factorized_attention(q, k, v, ch: int, scale: float,
                                   axis_name: str | None = None):
+    """q/k/v: (B, N, C) token layout or (B, H, W, C) grid layout.
+
+    Grid layout runs the contraction directly over the two spatial axes
+    (``bhwk,bhwv->bkv``) so token-space stages never materialise a
+    (B, N, C) relayout of conv-produced activations (the round-3 device
+    profile measured 7 ms/step of layout copies around exactly those
+    reshapes)."""
     if axis_name is not None:
         # context-parallel: tokens sharded over `axis_name` (shard_map body);
         # the fused kernel can't span shards, so use the collective XLA path.
         return factorized_attention_xla(q, k, v, ch, scale, axis_name)
     if _IMPL == "pallas" and pallas_supported():
+        if q.ndim == 4:
+            b, h, w, c = q.shape
+            out = factorized_attention(
+                q.reshape(b, h * w, c), k.reshape(b, h * w, c),
+                v.reshape(b, h * w, c), ch, scale)
+            return out.reshape(b, h, w, c)
         return factorized_attention(q, k, v, ch, scale)
     return factorized_attention_xla(q, k, v, ch, scale)
 
@@ -194,27 +207,34 @@ def factorized_attention_xla(q, k, v, ch: int, scale: float,
     ``pmax``/``psum`` of the (B, 1, C) row stats and the KᵀV Gram matrix is
     ``psum``-reduced — the only cross-shard communication in the whole
     attention (O(B·C²) bytes, independent of N).
+
+    Inputs may be (B, N, C) tokens or (B, H, W, C) grids; the grid form
+    contracts over both spatial axes in place (no token relayout).
     """
     c = q.shape[-1]
+    tok_axes = (1,) if q.ndim == 3 else (1, 2)
     if axis_name is None:
-        ks = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(q.dtype)
+        ks = jax.nn.softmax(k.astype(jnp.float32), axis=tok_axes).astype(
+            q.dtype)
     else:
         kf = k.astype(jnp.float32)
         # stop_gradient BEFORE pmax: the max-shift cancels analytically in
         # softmax, and pmax has no differentiation rule — a zero tangent on
         # its input lets autodiff skip it entirely.
         kmax = jax.lax.pmax(
-            jax.lax.stop_gradient(jnp.max(kf, axis=1, keepdims=True)),
+            jax.lax.stop_gradient(jnp.max(kf, axis=tok_axes, keepdims=True)),
             axis_name)
         ke = jnp.exp(kf - kmax)
-        denom = jax.lax.psum(jnp.sum(ke, axis=1, keepdims=True), axis_name)
+        denom = jax.lax.psum(
+            jnp.sum(ke, axis=tok_axes, keepdims=True), axis_name)
         ks = (ke / denom).astype(q.dtype)
-    ktv = jnp.einsum("bnk,bnv->bkv", ks, v,
-                     preferred_element_type=jnp.float32)
+    eq_kv = "bnk,bnv->bkv" if q.ndim == 3 else "bhwk,bhwv->bkv"
+    eq_out = "bnk,bkv->bnv" if q.ndim == 3 else "bhwk,bkv->bhwv"
+    ktv = jnp.einsum(eq_kv, ks, v, preferred_element_type=jnp.float32)
     if axis_name is not None:
         ktv = jax.lax.psum(ktv, axis_name)
     ids = jnp.arange(c) // ch
     mask = (ids[:, None] == ids[None, :]).astype(ktv.dtype)
-    out = jnp.einsum("bnk,bkv->bnv", q, (ktv * mask).astype(q.dtype),
+    out = jnp.einsum(eq_out, q, (ktv * mask).astype(q.dtype),
                      preferred_element_type=jnp.float32)
     return (scale * out).astype(q.dtype)
