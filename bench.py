@@ -117,6 +117,15 @@ def main():
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
+    # optional device-profile capture of 10 extra steps (does not perturb
+    # the timed loop above); roll up with scripts/parse_xplane.py
+    prof_dir = os.environ.get("MDVIT_BENCH_PROFILE")
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            for i in range(10):
+                state, metrics = run(state, images, masks, idx(i))
+            jax.block_until_ready(state.params)
+
     imgs_per_sec = NUM_DOMAINS * b * ITERS / dt
     out = {
         "metric": "mdvit_4domain_256_train_images_per_sec_per_chip",
