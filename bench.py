@@ -102,10 +102,12 @@ def main():
             bytes_acc = float(ca.get("bytes accessed", 0)) or None
         except Exception:
             pass
-        state, metrics = compiled(state, images, masks, idx(0))
         run = compiled
     except Exception:
         run = step  # fall back to the jit dispatch path
+    # first execution happens OUTSIDE the try: the step donates `state`, so
+    # falling back to the jit path after a failed *execution* would dispatch
+    # on already-deleted buffers
 
     for i in range(WARMUP):
         state, metrics = run(state, images, masks, idx(i))

@@ -316,6 +316,9 @@ def _ssr_apply_block(images: jax.Array, masks: jax.Array, angle: jax.Array,
     shifted-copy packing which deviated ±1 px at borders.
     """
     b, h, w, c = images.shape
+    assert h % 2 == 0 and w % 2 == 0 and min(h, w) >= 4, (
+        f"the 2×2-block warp needs even H/W ≥ 4, got {h}×{w} "
+        "(pick an even data.img_size)")
     a_inv, t_inv = jax.vmap(
         lambda an, sc, dx, dy: _rotation_matrix(an, sc, dx, dy, h, w)
     )(angle, scale, shift[:, 0], shift[:, 1])

@@ -43,6 +43,14 @@ class RoundRobinSampler:
     def __init__(self, sizes: Sequence[int], batch_size: int, seed: int = 0):
         self.sizes = list(sizes)
         self.batch_size = batch_size
+        small = [(i, s) for i, s in enumerate(self.sizes) if s < batch_size]
+        if small:
+            # the reference's drop_last DataLoader would yield ZERO batches
+            # for such a domain and its re-iter loop would spin forever —
+            # fail up front instead of emitting ragged/empty index rows
+            raise ValueError(
+                f"batch_size={batch_size} exceeds the training-set size of "
+                f"domain(s) {small}")
         self._rngs = [np.random.RandomState(seed + i) for i in range(len(sizes))]
         self._queues = [self._fresh(i) for i in range(len(sizes))]
 

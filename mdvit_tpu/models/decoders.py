@@ -77,6 +77,12 @@ class MLPDecoder(nn.Module):
     """SegFormer-style aux decoder over the 4 encoder scales
     (``Decoders.py:239-287``)."""
 
+    # All 1×1 heads lower as batched dots (PointwiseConv), so an nn.vmap
+    # stack over domains stays GSPMD-partitionable without a sharding
+    # constraint; classes with real spatial convs set this True (the vmapped
+    # conv becomes a feature-grouped conv whose group dim GSPMD can't split).
+    VMAP_GROUP_CONV = False
+
     hidden_channel: int = 256
     out_channel: int = 1
     img_size: Tuple[int, int] = (256, 256)
@@ -118,6 +124,8 @@ class MLPDecoder(nn.Module):
 class MLPDecoderFM(nn.Module):
     """MLPDecoder + the universal decoder's H/4 feature map fused into the
     concat (``Decoders.py:289-339``) — the default MDViT debranch."""
+
+    VMAP_GROUP_CONV = False  # pure 1×1 heads, see MLPDecoder
 
     hidden_channel: int = 512
     out_channel: int = 1
@@ -200,6 +208,8 @@ class ASPP(nn.Module):
 class DeepLabV3Decoder(nn.Module):
     """ASPP + conv head, the MDViT^D debranch (``Decoders.py:218-235``).
     Takes the last (H/32) encoder feature."""
+
+    VMAP_GROUP_CONV = True  # ASPP 3×3 dilated convs, see MLPDecoder
 
     out_channel: int = 1
     img_size: Tuple[int, int] = (256, 256)

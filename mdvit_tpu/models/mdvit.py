@@ -42,6 +42,8 @@ class TransformerDebranch(nn.Module):
     """The MDViT^T per-domain debranch: a full transformer decoding chain
     (``mdvit.py:614-642``), built with plain (non-Sup, non-DSN) stages."""
 
+    VMAP_GROUP_CONV = True  # CPE/CRPE/patch-embed depthwise convs
+
     img_size: int
     embed_dims: Sequence[int] = (64, 128, 320, 512)
     num_layers: Sequence[int] = (2, 2, 2, 2)
@@ -188,7 +190,7 @@ class MDViT(nn.Module):
             )
             constrain = (
                 aux_sharding is not None
-                and self.decoder_name in ("DeepLabV3", "Transformer")
+                and getattr(cls, "VMAP_GROUP_CONV", True)
             )
             if constrain:
                 # The conv-containing debranches lower under nn.vmap to

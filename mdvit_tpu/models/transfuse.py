@@ -476,7 +476,10 @@ def build_transfuse_l_384(img_size=None, num_domains=4, adapt_method=None,
     """The 384 L variant (``TransFuse.py:394-496``) is defined for a FIXED
     non-square 384×512 input — its DeiT-base pos-embed is interpolated to a
     (24, 32) token grid (``DeiT.py:168-181``). ``img_size`` from the config is
-    ignored, matching the reference's hardcoded geometry."""
+    ignored, matching the reference's hardcoded geometry. Like the reference
+    (whose square-only trainers never dispatch this class), it is
+    constructible/testable through the model API but not trainable from the
+    square-``data.img_size`` CLI pipeline."""
     kw.pop("decoder_name", None)
     return TransFuse(img_size=(384, 512), variant="L", sup=False,
                      num_domains=num_domains, dtype=dtype, **kw)

@@ -196,6 +196,14 @@ class DomainLayerNorm(nn.Module):
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.per_domain and domain_onehot is None:
+            # same contract (and same escape hatch) as DomainBatchNorm
+            if self.num_domains == 1:
+                domain_onehot = jnp.ones((x.shape[0], 1), jnp.float32)
+            else:
+                raise ValueError(
+                    "DomainLayerNorm(per_domain=True) with num_domains>1 "
+                    "needs domain_onehot")
         if self.per_domain:
             scale = self.param(
                 "scale", nn.initializers.ones, (self.num_domains, c)

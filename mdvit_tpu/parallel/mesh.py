@@ -24,6 +24,10 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is None or n_devices == -1:
         n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(
+            f"requested a {n_devices}-device mesh but only {len(devices)} "
+            "devices are visible")
     return Mesh(np.array(devices[:n_devices]), (axis_name,))
 
 

@@ -89,6 +89,7 @@ def apply_pretrained(
     model_name: str,
     folder: str,
     img_size,
+    model: Any = None,
 ) -> Tuple[Any, Any, str | None]:
     """Graft converted backbone trees from ``folder`` into TransFuse init
     variables. Non-TransFuse models and missing files are no-ops (the
@@ -98,8 +99,22 @@ def apply_pretrained(
     if stems is None or not folder:
         return params, batch_stats, None
     resnet_stem, deit_stem = stems
+    # The token grid must come from the MODEL, not the config: the registry
+    # builder may override the configured size (TransFuse_L_384 is pinned to
+    # the reference's fixed 384×512 / (24, 32) grid regardless of
+    # ``data.img_size``, ``TransFuse.py:443``)
+    if model is not None and getattr(model, "img_size", None) is not None:
+        img_size = model.img_size
     ih, iw = (img_size, img_size) if isinstance(img_size, int) else img_size
     grid = (ih // 16, iw // 16)
+    dst_pe = params.get("transformer", {}).get("pos_embed")
+    if dst_pe is not None and dst_pe.shape[1] != grid[0] * grid[1]:
+        print(
+            f"[pretrained] WARNING: model pos_embed has {dst_pe.shape[1]} "
+            f"tokens but the derived grid {grid} has {grid[0] * grid[1]}; "
+            "the DeiT pos-embed graft will be skipped (pass the built model "
+            "so the grid can be derived from it)"
+        )
     matched: list = []
     skipped: list = []
     used_files = []

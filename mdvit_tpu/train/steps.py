@@ -34,6 +34,7 @@ from flax import struct
 
 from mdvit_tpu.data.augment import augment_batch, eval_transform
 from mdvit_tpu.data.loader import gather_batch
+from mdvit_tpu.parallel.mesh import constrain_batch
 from mdvit_tpu.train.losses import bce_with_logits, dice_loss, structure_loss
 
 
@@ -51,6 +52,20 @@ def path_contains(path, needle: str) -> bool:
         if needle in str(key):
             return True
     return False
+
+
+def _dice_iou(probs, y):
+    """Thresholded (0.5) dice/jaccard of one domain's minibatch — medpy
+    dc/jc definitions with empty-set guards (``multi_train_MDViT.py:171-179``).
+    Shared by the MDViT/BASE and TransFuse train-step branches."""
+    pred = (probs > 0.5).astype(jnp.float32)
+    inter = jnp.sum(pred * y)
+    sp, st = jnp.sum(pred), jnp.sum(y)
+    dice = jnp.where(sp + st > 0, 2 * inter / jnp.maximum(sp + st, 1), 0.0)
+    iou = jnp.where(
+        sp + st - inter > 0, inter / jnp.maximum(sp + st - inter, 1), 0.0
+    )
+    return dice, iou
 
 
 def _per_domain_losses(logits, aux_logits, labels, num_domains: int):
@@ -72,13 +87,7 @@ def _per_domain_losses(logits, aux_logits, labels, num_domains: int):
         seg = bce_with_logits(lgt, y) + dice_loss(probs, y)
         aux = bce_with_logits(agt, y) + dice_loss(aux_probs, y)
         kt = dice_loss(aux_probs, probs)  # KT_loss(aux_out, output) (:168)
-        pred = (probs > 0.5).astype(jnp.float32)
-        inter = jnp.sum(pred * y)
-        sp, st = jnp.sum(pred), jnp.sum(y)
-        dice = jnp.where(sp + st > 0, 2 * inter / jnp.maximum(sp + st, 1), 0.0)
-        iou = jnp.where(
-            sp + st - inter > 0, inter / jnp.maximum(sp + st - inter, 1), 0.0
-        )
+        dice, iou = _dice_iou(probs, y)
         return seg, aux, kt, dice, iou
 
     seg, aux, kt, dice, iou = jax.vmap(one_domain)(lg, ag, yg)
@@ -116,12 +125,11 @@ def make_train_step(
             x, y = augment_batch(aug_rng, x_raw, m_raw)
         else:
             x, y = eval_transform(x_raw, m_raw)
-        if data_sharding is not None:
-            # DP: shard the stacked batch over the mesh's data axis; GSPMD
-            # inserts the grad/BN-stat psums over ICI automatically
-            x = jax.lax.with_sharding_constraint(x, data_sharding)
-            y = jax.lax.with_sharding_constraint(y, data_sharding)
-            onehot = jax.lax.with_sharding_constraint(onehot, data_sharding)
+        # DP: shard the stacked batch over the mesh's data axis; GSPMD
+        # inserts the grad/BN-stat psums over ICI automatically
+        x = constrain_batch(x, data_sharding)
+        y = constrain_batch(y, data_sharding)
+        onehot = constrain_batch(onehot, data_sharding)
 
         aux_sharding = None
         if data_sharding is not None and mkd:
@@ -165,19 +173,7 @@ def make_train_step(
                 losses_d = jax.vmap(dom_loss)(
                     group(map_x), group(map_1), group(map_2), group(y))
                 probs = jax.nn.sigmoid(group(map_2).astype(jnp.float32))
-
-                def dom_metrics(p, yy):
-                    pred = (p > 0.5).astype(jnp.float32)
-                    inter = jnp.sum(pred * yy)
-                    sp, st = jnp.sum(pred), jnp.sum(yy)
-                    dice = jnp.where(sp + st > 0,
-                                     2 * inter / jnp.maximum(sp + st, 1), 0.0)
-                    iou = jnp.where(sp + st - inter > 0,
-                                    inter / jnp.maximum(sp + st - inter, 1),
-                                    0.0)
-                    return dice, iou
-
-                dice_d, iou_d = jax.vmap(dom_metrics)(probs, group(y))
+                dice_d, iou_d = jax.vmap(_dice_iou)(probs, group(y))
                 multi = jnp.sum(losses_d)
                 metrics = {"loss": multi, "loss_per_domain": losses_d,
                            "dice_per_domain": dice_d,
@@ -271,11 +267,10 @@ def make_eval_step(model, mkd: bool = True, data_sharding=None) -> Callable:
     def step(params, batch_stats, images, masks, onehot, valid,
              aux_vars=None):
         x, y = eval_transform(images, masks)
-        if data_sharding is not None:
-            # DP eval: shard the (padded, evenly divisible) batch over the
-            # mesh; the masked count/loss sums become psums automatically
-            x = jax.lax.with_sharding_constraint(x, data_sharding)
-            y = jax.lax.with_sharding_constraint(y, data_sharding)
+        # DP eval: shard the (padded, evenly divisible) batch over the
+        # mesh; the masked count/loss sums become psums automatically
+        x = constrain_batch(x, data_sharding)
+        y = constrain_batch(y, data_sharding)
         kwargs = {}
         if mkd:
             kwargs["aux_mode"] = (
@@ -313,12 +308,16 @@ def make_eval_step(model, mkd: bool = True, data_sharding=None) -> Callable:
                 "sum_true": jnp.sum(yv),
             }
 
-        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+        # loss math in float32 regardless of model dtype, like
+        # losses.bce_with_logits — keeps bf16 runs' val losses at the fp32
+        # torch-parity values
+        lg32 = logits.astype(jnp.float32)
+        probs = jax.nn.sigmoid(lg32)
         # masked BCE mean + masked squared-denominator dice over valid samples
         n_valid_elems = valid * y.shape[1] * y.shape[2] * y.shape[3]
         per_bce = (
-            jnp.maximum(logits, 0.0) - logits * y
-            + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            jnp.maximum(lg32, 0.0) - lg32 * y
+            + jnp.log1p(jnp.exp(-jnp.abs(lg32)))
         ) * sample_mask
         bce = jnp.sum(per_bce) / jnp.maximum(n_valid_elems, 1)
         pm, ym = probs * sample_mask, y * sample_mask

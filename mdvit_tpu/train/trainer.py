@@ -176,6 +176,7 @@ class Trainer:
             params, batch_stats, report = apply_pretrained(
                 params, batch_stats, config.model,
                 str(config.pretrained_folder), int(config.data.img_size),
+                model=self.model,
             )
             if report:
                 print(report)
@@ -192,6 +193,15 @@ class Trainer:
         )
 
         self.state = self._place_on_mesh(self.state)
+        if bool(config.data.train_aug) and not bool(
+                config.tpu.get("device_augment", True)):
+            # there is NO host-side augmentation path — the jitted step is
+            # the only place train augs run; don't let train_aug=True train
+            # silently unaugmented
+            raise ValueError(
+                "data.train_aug=True requires tpu.device_augment=True "
+                "(augmentations run inside the jitted step; set "
+                "data.train_aug=False to intentionally train unaugmented)")
         self.train_step = make_train_step(
             self.model,
             self.tx,

@@ -75,27 +75,15 @@ def convert_resnet(sd: dict, arch: str = "resnet34"):
 def resize_pos_embed(pe: np.ndarray, grid) -> np.ndarray:
     """Drop cls token and bilinearly resize to ``grid`` (int or (gh, gw)) —
     the reference's DeiT trick (``DeiT.py:104-111``; non-square (24, 32) for
-    deit_base_384, ``DeiT.py:178-181``), align_corners=True."""
+    deit_base_384, ``DeiT.py:178-181``), align_corners=True. The resize math
+    lives in ONE place: ``mdvit_tpu.train.pretrained.resize_grid_pos_embed``
+    (also used for load-time re-resizes)."""
+    from mdvit_tpu.train.pretrained import resize_grid_pos_embed
+
     gh, gw = (grid, grid) if isinstance(grid, int) else (grid[0], grid[1])
-    pe = pe[:, 1:, :]  # remove cls
-    n = pe.shape[1]
-    side = int(np.sqrt(n))
-    c = pe.shape[2]
-    img = pe.reshape(side, side, c)
-    if (side, side) == (gh, gw):
-        return img.reshape(1, gh * gw, c)
-    ys = np.linspace(0, side - 1, gh)
-    xs = np.linspace(0, side - 1, gw)
-    y0 = np.floor(ys).astype(int)
-    x0 = np.floor(xs).astype(int)
-    y1 = np.minimum(y0 + 1, side - 1)
-    x1 = np.minimum(x0 + 1, side - 1)
-    fy = (ys - y0)[:, None, None]
-    fx = (xs - x0)[None, :, None]
-    top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
-    bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
-    out = top * (1 - fy) + bot * fy
-    return out.reshape(1, gh * gw, c).astype(pe.dtype)
+    pe = np.asarray(pe)[:, 1:, :]  # remove cls
+    side = int(np.sqrt(pe.shape[1]))
+    return resize_grid_pos_embed(pe, (side, side), (gh, gw))
 
 
 def convert_deit(sd: dict, grid: int, depth: int):

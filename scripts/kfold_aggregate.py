@@ -23,9 +23,24 @@ def aggregate(exp_dirs: list[str]) -> pd.DataFrame:
     for d in exp_dirs:
         path = os.path.join(d, "test_results.csv")
         frames.append(pd.read_csv(path))
-    # cells 3-4: np.stack over folds (rows must align: per-dataset + Total)
-    arr = np.stack([f.values for f in frames], axis=0)
+    # cells 3-4 stack over folds; the notebook stacks POSITIONALLY, which
+    # silently averages mismatched datasets if a fold's rows are ordered
+    # differently — key the rows by the Name column instead and refuse
+    # non-matching folds
     head = frames[0].columns
+    names = list(frames[0][head[0]])
+    aligned = [frames[0]]
+    for d, f in zip(exp_dirs[1:], frames[1:]):
+        g = f.set_index(head[0])
+        missing = [n for n in names if n not in g.index]
+        extra = [n for n in g.index if n not in names]
+        if missing or extra:
+            raise SystemExit(
+                f"{d}/test_results.csv rows do not match fold 0"
+                f" (missing {missing}, extra {extra})"
+            )
+        aligned.append(g.loc[names].reset_index())
+    arr = np.stack([f.values for f in aligned], axis=0)
     vals = arr[:, :, 1:].astype(float)
     avg = np.mean(vals, axis=0)
     std = np.std(vals, axis=0)  # population std — notebook cell 4

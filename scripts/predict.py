@@ -189,6 +189,7 @@ def main():
     forward = jax.jit(make_forward(model, mkd))
 
     n_done = 0
+    seen: dict = {}
     for start in range(0, len(files), bs):
         chunk = files[start:start + bs]
         batch = np.zeros((bs, img_size, img_size, 3), np.float32)
@@ -198,6 +199,12 @@ def main():
         probs = np.asarray(forward(variables, jnp.asarray(batch), onehot))
         for i, f in enumerate(chunk):
             stem = os.path.splitext(os.path.basename(f))[0]
+            # inputs from different directories may share a basename —
+            # disambiguate instead of silently overwriting the first mask
+            n = seen.get(stem, 0)
+            seen[stem] = n + 1
+            if n:
+                stem = f"{stem}_{n + 1}"
             base = os.path.join(args.out_dir, stem)
             mask = (probs[i] > args.threshold).astype(np.uint8)
             save_mask(base, mask, probs[i] if args.save_prob else None)

@@ -75,3 +75,26 @@ def test_kfold_micro_run_through_cli(tmp_path):
         np.testing.assert_allclose(df[f"{col}_s"].values.astype(float),
                                    want_s, rtol=1e-9, atol=1e-12)
     assert np.isfinite(df["Di_score_m"].values.astype(float)).all()
+
+
+def test_aggregate_aligns_rows_by_name(tmp_path):
+    """Folds whose test_results.csv rows are ordered differently must be
+    averaged per-dataset (keyed by Name), not positionally; folds with a
+    different dataset set are refused."""
+    a = tmp_path / "f0"
+    b = tmp_path / "f1"
+    a.mkdir(), b.mkdir()
+    pd.DataFrame({"Name": ["isic2018", "PH2", "Total"],
+                  "dice": [0.8, 0.6, 0.7]}).to_csv(
+        a / "test_results.csv", index=False)
+    pd.DataFrame({"Name": ["PH2", "isic2018", "Total"],
+                  "dice": [0.4, 1.0, 0.7]}).to_csv(
+        b / "test_results.csv", index=False)
+    df = aggregate([str(a), str(b)]).set_index("Name")
+    np.testing.assert_allclose(df.loc["isic2018", "dice_m"], 0.9)
+    np.testing.assert_allclose(df.loc["PH2", "dice_m"], 0.5)
+
+    pd.DataFrame({"Name": ["DMF", "Total"], "dice": [0.5, 0.5]}).to_csv(
+        b / "test_results.csv", index=False)
+    with pytest.raises(SystemExit, match="do not match"):
+        aggregate([str(a), str(b)])

@@ -123,3 +123,22 @@ def test_trainer_wires_pretrained_folder(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(tr.state.params["resnet"]["conv1"]["kernel"]),
         rp["conv1"]["kernel"])
+
+
+def test_pos_embed_grid_derived_from_model_not_config(tmp_path):
+    """TransFuse_L_384 pins a non-square token grid regardless of the
+    config's square ``data.img_size`` (``TransFuse.py:443``): when the built
+    model is passed, apply_pretrained must resize the pos-embed to the
+    MODEL's grid, not the config-derived one."""
+    _, _, dp = _write_backbones(tmp_path, grid=(2, 2))
+    m = TransFuse(img_size=(32, 48), variant="S", sup=False)
+    x = np.zeros((1, 32, 48, 3), np.float32)
+    v = jax.jit(lambda: m.init(RNGS, x, None, train=False))()
+    params, _, report = apply_pretrained(
+        v["params"], v["batch_stats"], "TransFuse_S", str(tmp_path),
+        32,  # square config size would give grid (2, 2); model is (2, 3)
+        model=m)
+    expect = resize_grid_pos_embed(np.asarray(dp["pos_embed"]), (2, 2), (2, 3))
+    np.testing.assert_allclose(
+        np.asarray(params["transformer"]["pos_embed"]), expect, atol=1e-6)
+    assert "grafted" in report
