@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mdvit_tpu.models.blocks import MHSAStage
+from mdvit_tpu.models.blocks import MHSAStage, grid_to_tokens, tokens_to_grid
 from mdvit_tpu.models.decoders import UnetDecodingBlockTransformer
 from mdvit_tpu.models.registry import register_model
 from mdvit_tpu.ops.layers import ConvBN, DWConvBN, NormSpec, conv2d, make_bn
@@ -148,10 +148,9 @@ class FATEncoderDecoder(nn.Module):
         for i in range(4):
             x = self.patch_embeds[i](x, domain_onehot, train)
             size = (x.shape[1], x.shape[2])
-            # grid-layout stage call: the whole token stage runs on the
-            # conv-native (B,H,W,C) layout, avoiding the per-block token
-            # relayout copies (7 ms/step in the round-3 device profile)
-            x = self.mhsa_stages[i](x, size, domain_onehot, train)
+            t = grid_to_tokens(x)
+            t = self.mhsa_stages[i](t, size, domain_onehot, train)
+            x = tokens_to_grid(t, size)
             if self.adapter == "DASE":
                 # DASE replaces the stream (base_sota_adapt.py:421-423)
                 x = self.encoder_adapters[i](x)

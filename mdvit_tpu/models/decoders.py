@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mdvit_tpu.models.blocks import MHSAStage
+from mdvit_tpu.models.blocks import MHSAStage, grid_to_tokens, tokens_to_grid
 from mdvit_tpu.ops.layers import (
     ConvBN,
     DWConvBN,
@@ -69,7 +69,9 @@ class UnetDecodingBlockTransformer(nn.Module):
                 features=self.out_channels, kernel_size=1, padding=0,
                 norm=self.norm, dtype=self.dtype, name="res_conv",
             )(out, domain_onehot, train)
-        out2 = self.mhsa(out, skip_size, domain_onehot, train)
+        tokens = grid_to_tokens(out)
+        tokens = self.mhsa(tokens, skip_size, domain_onehot, train)
+        out2 = tokens_to_grid(tokens, skip_size)
         return res + out2 if self.use_res else out2
 
 
