@@ -73,6 +73,9 @@ def main() -> None:
                     help="number of profiled steps (divides totals)")
     ap.add_argument("--top", type=int, default=0,
                     help="also print the K most expensive individual ops")
+    ap.add_argument("--hlo", action="store_true",
+                    help="with --top: print each op's full HLO expression "
+                         "(result shape + operands) instead of just its name")
     args = ap.parse_args()
 
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
@@ -104,7 +107,7 @@ def main() -> None:
                 total_ps += dur
                 by_cat[opcode_of(name)] += dur
                 if args.top:
-                    key = name.split(" = ")[0]
+                    key = name if args.hlo else name.split(" = ")[0]
                     by_op[key] += dur
                     n_events[key] += 1
 
@@ -119,9 +122,10 @@ def main() -> None:
                   f"{100 * ps / total_ps:6.1f}")
         if args.top:
             print(f"\ntop {args.top} ops:")
+            width = 600 if args.hlo else 90
             for op, ps in by_op.most_common(args.top):
                 print(f"  {ps * ms / per_step:8.2f} ms/step  "
-                      f"x{n_events[op] // per_step:<4} {op[:90]}")
+                      f"x{n_events[op] // per_step:<4} {op[:width]}")
 
 
 if __name__ == "__main__":
