@@ -311,9 +311,10 @@ class MHSAStage(nn.Module):
     """A stage: shared CPE + shared CRPE + ``num_layers`` serial blocks
     (``mdvit.py:415-469``). ``(B, N, C) → (B, N, C)`` tokens, or
     ``(B, H, W, C) → (B, H, W, C)`` grid — the grid form keeps every block
-    in the conv-native layout (attention contracts over (h, w) in place),
-    eliminating the per-block token relayout copies measured at 7 ms/step
-    in the round-3 device profile. Same params either way."""
+    in the conv-native layout (attention contracts over (h, w) in place)
+    with no token relayout copies. Same params either way. NOTE: production
+    callers use the TOKEN form — the grid form measured 10% slower
+    end-to-end (the copies buy the matmul layouts; README rejected list)."""
 
     dim: int
     num_layers: int

@@ -60,9 +60,10 @@ def dispatch_factorized_attention(q, k, v, ch: int, scale: float,
 
     Grid layout runs the contraction directly over the two spatial axes
     (``bhwk,bhwv->bkv``) so token-space stages never materialise a
-    (B, N, C) relayout of conv-produced activations (the round-3 device
-    profile measured 7 ms/step of layout copies around exactly those
-    reshapes)."""
+    (B, N, C) relayout of conv-produced activations. NOTE: measured SLOWER
+    end-to-end than the token form (343.3 vs 307.7 img/s — the relayout
+    copies buy better matmul layouts); production callers pass tokens, the
+    grid form remains for layout-flexible callers."""
     if axis_name is not None:
         # context-parallel: tokens sharded over `axis_name` (shard_map body);
         # the fused kernel can't span shards, so use the collective XLA path.
