@@ -34,7 +34,6 @@ from mdvit_tpu.ops.layers import (
     FastDropout,
     Mlp,
     NormSpec,
-    conv2d,
     dense,
 )
 from mdvit_tpu.ops.norm import DomainLayerNorm
@@ -60,6 +59,26 @@ def grid_to_tokens(x: jax.Array) -> jax.Array:
     return x.reshape(b, h * w, c)
 
 
+class _DWConvParams(nn.Module):
+    """Parameter holder matching ``nn.Conv``'s tree for a depthwise conv:
+    ``kernel (k,k,1,c)`` kaiming-fan_out + ``bias (c,)`` zeros. Lets the
+    caller dispatch the compute (XLA conv vs Pallas kernel) while keeping
+    checkpoints interchangeable with the previous ``nn.Conv``-based CPE."""
+
+    dim: int
+    k: int
+
+    @nn.compact
+    def __call__(self):
+        from mdvit_tpu.ops.initializers import conv_kaiming_fanout
+
+        kernel = self.param(
+            "kernel", conv_kaiming_fanout(self.dim), (self.k, self.k, 1,
+                                                      self.dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return kernel, bias
+
+
 class ConvPosEnc(nn.Module):
     """Depthwise-conv positional encoding with residual (``mpvit.py:229``).
 
@@ -67,6 +86,10 @@ class ConvPosEnc(nn.Module):
     grid; a ppermute halo exchange of ``k//2`` rows replaces the zero padding
     on H (parallel/context.py), keeping the conv output exactly the global
     conv's rows for this shard. Param tree is identical either way.
+
+    On TPU with ``MDVIT_DWCONV=pallas`` the conv+bias+residual runs as one
+    layout-preserving Pallas kernel (ops/pallas_dwconv.py) — the token→grid
+    reshape becomes a free bitcast instead of an XLA conv-layout copy.
     """
 
     dim: int
@@ -76,19 +99,30 @@ class ConvPosEnc(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+        from mdvit_tpu.ops import pallas_dwconv as pdw
+
         feat = tokens_to_grid(x, size)
         pad = self.k // 2
+        kernel, bias = _DWConvParams(self.dim, self.k, name="proj")()
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        if self.axis_name is None and pdw.use_pallas_dwconv():
+            res = pdw.cpe_conv_pallas(
+                feat.astype(self.dtype), kernel.reshape(self.k, self.k,
+                                                        self.dim), bias)
+            return res if x.ndim == 4 else grid_to_tokens(res)
         if self.axis_name is None:
-            inp, padding = feat, pad
+            inp, padding = feat, ((pad, pad), (pad, pad))
         else:
             from mdvit_tpu.parallel.context import halo_exchange_rows
 
             inp = halo_exchange_rows(feat, pad, self.axis_name)
             padding = ((0, 0), (pad, pad))
-        out = conv2d(
-            self.dim, self.k, 1, padding, groups=self.dim,
-            dtype=self.dtype, name="proj",
-        )(inp)
+        out = jax.lax.conv_general_dilated(
+            inp.astype(self.dtype), kernel, (1, 1), padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.dim,
+        ) + bias
         res = out + feat
         return res if x.ndim == 4 else grid_to_tokens(res)
 
@@ -147,6 +181,19 @@ class ConvRelPosEnc(nn.Module):
         v_img = v if v.ndim == 4 else v.reshape(b, size[0], size[1], h * ch)
         pad = max_k // 2
         if self.axis_name is None:
+            from mdvit_tpu.ops import pallas_dwconv as pdw
+
+            if pdw.use_pallas_dwconv():
+                # fused q·(dwconv(v)+bias) — conv_v never hits HBM and the
+                # conv consumes v in its matmul-native layout (no copies)
+                q_img = (q if q.ndim == 4
+                         else q.reshape(b, size[0], size[1], h * ch))
+                out = pdw.crpe_conv_pallas(
+                    q_img.astype(self.dtype), v_img.astype(self.dtype),
+                    kernel.reshape(max_k, max_k, h * ch).astype(self.dtype),
+                    bias.astype(self.dtype))
+                return out if q.ndim == 4 else out.reshape(b, q.shape[1],
+                                                           h * ch)
             h_pad = (pad, pad)
         else:
             from mdvit_tpu.parallel.context import halo_exchange_rows
