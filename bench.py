@@ -142,10 +142,14 @@ def main():
         out["mfu"] = round(flops / step_s / PEAK_BF16_FLOPS, 4)
         out["gflops_per_img"] = round(flops / (NUM_DOMAINS * b) / 1e9, 1)
     if bytes_acc:
-        # XLA-estimated HBM traffic; the roofline companion to img/s
-        out["gbytes_per_img"] = round(
+        # XLA's analytic per-op operand+output byte count: an UPPER BOUND on
+        # HBM traffic that ignores fusion reuse, so the utilization ratio can
+        # exceed 1.0 of peak — named "analytic" to keep the JSON physically
+        # interpretable. The measured effective figure is ~2.7 GB/img
+        # (README §Performance batch-scaling measurement).
+        out["analytic_gbytes_per_img"] = round(
             bytes_acc / (NUM_DOMAINS * b) / 1e9, 3)
-        out["hbm_util"] = round(
+        out["analytic_bytes_util"] = round(
             bytes_acc / step_s / 1e9 / PEAK_HBM_GBPS, 3)
     print(json.dumps(out))
 

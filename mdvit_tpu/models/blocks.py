@@ -123,7 +123,9 @@ class ConvPosEnc(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.dim,
         ) + bias
-        res = out + feat
+        # cast the residual operand so both dispatch paths (XLA here, Pallas
+        # above) emit self.dtype regardless of the input dtype
+        res = out + feat.astype(self.dtype)
         return res if x.ndim == 4 else grid_to_tokens(res)
 
 
@@ -209,6 +211,7 @@ class ConvRelPosEnc(nn.Module):
             feature_group_count=h * ch,
             precision=_ATT_PREC,
         ) + bias.astype(self.dtype)
+        q = q.astype(self.dtype)  # match the Pallas path's output dtype
         if q.ndim == 4:
             return q * conv_v
         return q * conv_v.reshape(b, q.shape[1], h * ch)

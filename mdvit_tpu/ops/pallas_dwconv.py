@@ -59,7 +59,12 @@ def dwconv_impl() -> str:
 
 
 def use_pallas_dwconv() -> bool:
-    return _IMPL == "pallas" and pallas_supported()
+    # Single-chip scope: pallas_call has no GSPMD partitioning rule, so a
+    # multi-device mesh (data-parallel trainer, dryrun_multichip) must take
+    # the XLA path; callers additionally gate on axis_name (context
+    # parallelism) themselves.
+    return (_IMPL == "pallas" and pallas_supported()
+            and len(jax.devices()) == 1)
 
 
 # ---------------------------------------------------------------- kernels
@@ -172,10 +177,10 @@ def _b_spec(c):
     return pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
-def _cost(b, h, w, c, k, n_imgs):
+def _cost(b, h, w, c, k, n_imgs, itemsize=2):
     return pl.CostEstimate(
         flops=2 * b * h * w * c * k * k,
-        bytes_accessed=n_imgs * b * h * w * c * 2,
+        bytes_accessed=n_imgs * b * h * w * c * itemsize,
         transcendentals=0,
     )
 
@@ -199,7 +204,7 @@ def _cpe_fwd(x, w, b, interpret):
             pltpu.VMEM((h + k - 1, wd + k - 1, c), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=_cost(bsz, h, wd, c, k, 2),
+        cost_estimate=_cost(bsz, h, wd, c, k, 2, x.dtype.itemsize),
         interpret=interpret,
     )(x, w, b.reshape(1, c))
 
@@ -228,7 +233,7 @@ def _cpe_vjp_bwd(interpret, res, g):
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=_cost(bsz, h, wd, c, k, 4),
+        cost_estimate=_cost(bsz, h, wd, c, k, 4, x.dtype.itemsize),
         interpret=interpret,
     )(x, w, g)
     return dx, dw.astype(w.dtype), db.reshape(c).astype(w.dtype)
@@ -257,7 +262,7 @@ def _crpe_fwd_call(q, v, w, b, interpret):
             pltpu.VMEM((h + k - 1, wd + k - 1, c), v.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=_cost(bsz, h, wd, c, k, 3),
+        cost_estimate=_cost(bsz, h, wd, c, k, 3, v.dtype.itemsize),
         interpret=interpret,
     )(q, v, w, b.reshape(1, c))
 
@@ -289,7 +294,7 @@ def _crpe_vjp_bwd(interpret, res, g):
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-        cost_estimate=_cost(bsz, h, wd, c, k, 6),
+        cost_estimate=_cost(bsz, h, wd, c, k, 6, v.dtype.itemsize),
         interpret=interpret,
     )(q, v, g, w, b.reshape(1, c))
     return dq, dv, dw.astype(w.dtype), db.reshape(c).astype(b.dtype)

@@ -273,6 +273,12 @@ def make_eval_step(model, mkd: bool = True, data_sharding=None) -> Callable:
         y = constrain_batch(y, data_sharding)
         kwargs = {}
         if mkd:
+            # 'features' is the production path (the Trainer always passes
+            # domain-sliced aux_vars). The 'select' fallback exists for API
+            # completeness only — direct callers evaluating MIXED-domain
+            # batches without pre-slicing debranch variables (the one-hot
+            # select works per-example); pinned equal to the other modes by
+            # tests/test_reference_parity.py, never reached from the Trainer.
             kwargs["aux_mode"] = (
                 "features" if debranch is not None and aux_vars is not None
                 else "select")

@@ -2,7 +2,7 @@
 """Offline preprocessing: raw images/masks → 512² ``.npy`` + ``meta_*.csv``.
 
 Capability parity with ``Datasets/process_resize.py`` (per-dataset resize to
-512², ISIC INTER_CUBIC-ish images / nearest masks, others area-ish; saved as
+512² with the reference's interpolation kernels — see ``RESAMPLE``; saved as
 npy under ``<ds>/Image``, ``<ds>/Label``) AND the meta-csv builder notebook
 (``Datasets/create_meta.ipynb``) — without the cv2/matplotlib dependency
 (PIL + numpy only).
@@ -51,6 +51,21 @@ except ImportError:  # pragma: no cover
 
 SIZE = 512
 EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+# Per-dataset interpolation parity with the reference
+# (``Datasets/process_resize.py``): ISIC images INTER_CUBIC / masks
+# INTER_NEAREST (``:45-46``); PH2/SKD/DMF images AND masks INTER_AREA
+# (``:76-77,114-115,147-149``). PIL's BOX filter is the area-average
+# equivalent of cv2.INTER_AREA for downscaling. Area-resized masks are
+# binarized at >0.5 by ``_save_pair`` — the same threshold the reference's
+# dataset applies at load time (``create_dataset.py:131``), so the
+# end-to-end labels match.
+RESAMPLE = {
+    "isic2018": {"image": "BICUBIC", "mask": "NEAREST"},
+    "PH2": {"image": "BOX", "mask": "BOX"},
+    "DMF": {"image": "BOX", "mask": "BOX"},
+    "SKD": {"image": "BOX", "mask": "BOX"},
+}
 ISIC_SUBSET_CSV = os.path.join(
     os.path.dirname(__file__), "..", "mdvit_tpu", "data",
     "isic2018_subset.csv",
@@ -64,12 +79,22 @@ def load_isic_subset() -> pd.DataFrame:
     return df
 
 
-def _load_resize(path: str, nearest: bool) -> np.ndarray:
+def resize_array(arr: np.ndarray, resample: str,
+                 size: int = SIZE) -> np.ndarray:
+    """Resize a numpy image with the named PIL kernel (testable core of
+    ``_load_resize``)."""
+    if Image is None:
+        raise RuntimeError("PIL not available; cannot resize images")
+    img = Image.fromarray(arr)
+    return np.asarray(img.resize((size, size), getattr(Image, resample)))
+
+
+def _load_resize(path: str, dataset: str, mask: bool) -> np.ndarray:
     if Image is None:
         raise RuntimeError("PIL not available; cannot decode raw images")
     img = Image.open(path)
-    resample = Image.NEAREST if nearest else Image.BICUBIC
-    img = img.resize((SIZE, SIZE), resample)
+    resample = RESAMPLE[dataset]["mask" if mask else "image"]
+    img = img.resize((SIZE, SIZE), getattr(Image, resample))
     return np.asarray(img)
 
 
@@ -116,8 +141,8 @@ def process_isic2018(images_dir: str, masks_dir: str, out_root: str) -> None:
         if not (os.path.exists(img_path) and os.path.exists(mask_path)):
             missing += 1
             continue
-        img = _load_resize(img_path, nearest=False)
-        mask = _load_resize(mask_path, nearest=True)
+        img = _load_resize(img_path, "isic2018", mask=False)
+        mask = _load_resize(mask_path, "isic2018", mask=True)
         _save_pair(out, num_id, img, mask)
         rows.append({"ID": num_id, "diagnosis": row.diagnosis,
                      "diagnosis_id": int(row.diagnosis_id),
@@ -158,8 +183,8 @@ def process_ph2(images_dir: str, masks_dir: str, out_root: str,
         if mask_path is None:
             print(f"skip {stem}: no mask")
             continue
-        img = _load_resize(os.path.join(images_dir, fn), nearest=False)
-        mask = _load_resize(mask_path, nearest=True)
+        img = _load_resize(os.path.join(images_dir, fn), "PH2", mask=False)
+        mask = _load_resize(mask_path, "PH2", mask=True)
         _save_pair(out, stem, img, mask)
         rows.append({"ID": stem, "diagnosis": diag.get(stem, "unknown"),
                      "dataset": "PH2"})
@@ -187,8 +212,8 @@ def process_dmf(images_dir: str, out_root: str,
         if not (os.path.isdir(d) and os.path.exists(img_path)
                 and os.path.exists(mask_path)):
             continue
-        img = _load_resize(img_path, nearest=False)
-        mask = _load_resize(mask_path, nearest=True)
+        img = _load_resize(img_path, "DMF", mask=False)
+        mask = _load_resize(mask_path, "DMF", mask=True)
         _save_pair(out, sample, img, mask)
         rows.append({"ID": sample, "diagnosis": diag.get(sample, "unknown"),
                      "dataset": "DMF"})
@@ -228,8 +253,9 @@ def process_skd(images_root: str, out_root: str) -> None:
                 if not os.path.exists(mask_path):
                     continue
                 sample_id = f"{subset}_{stem}"
-                img = _load_resize(os.path.join(folder, fn), nearest=False)
-                mask = _load_resize(mask_path, nearest=True)
+                img = _load_resize(os.path.join(folder, fn), "SKD",
+                                   mask=False)
+                mask = _load_resize(mask_path, "SKD", mask=True)
                 _save_pair(out, sample_id, img, mask)
                 rows.append({"ID": sample_id, "diagnosis": diagnosis,
                              "dataset": "SKD"})

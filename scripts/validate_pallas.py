@@ -35,35 +35,45 @@ def validate_dwconv(key) -> bool:
     ok = True
     for (b, h, w, c) in [(16, 64, 64, 64), (16, 32, 32, 128),
                          (16, 16, 16, 320), (16, 8, 8, 512)]:
-        for k, tag in [(3, "cpe"), (7, "crpe")]:
-            x = jax.random.normal(key, (b, h, w, c), jnp.float32)
-            q = jax.random.normal(jax.random.fold_in(key, 9), (b, h, w, c))
-            wgt = 0.3 * jax.random.normal(
-                jax.random.fold_in(key, 1), (k, k, c), jnp.float32)
-            bia = 0.1 * jax.random.normal(
-                jax.random.fold_in(key, 2), (c,), jnp.float32)
-            if tag == "cpe":
-                fp = jax.jit(lambda x, w_, b_, q_: jnp.sum(
-                    jnp.sin(cpe_conv_pallas(x, w_, b_))))
-                fx = jax.jit(lambda x, w_, b_, q_: jnp.sum(
-                    jnp.sin(cpe_conv_xla(x, w_, b_))))
-            else:
-                fp = jax.jit(lambda x, w_, b_, q_: jnp.sum(
-                    jnp.sin(crpe_conv_pallas(q_, x, w_, b_))))
-                fx = jax.jit(lambda x, w_, b_, q_: jnp.sum(
-                    jnp.sin(crpe_conv_xla(q_, x, w_, b_))))
-            with jax.default_matmul_precision("highest"):
-                d_fwd = abs(float(fp(x, wgt, bia, q))
-                            - float(fx(x, wgt, bia, q)))
-                gp = jax.jit(jax.grad(fp, argnums=(0, 1, 2, 3)))(
-                    x, wgt, bia, q)
-                gx = jax.jit(jax.grad(fx, argnums=(0, 1, 2, 3)))(
-                    x, wgt, bia, q)
-            dmax = max(float(jnp.abs(a - e).max()) for a, e in zip(gp, gx))
-            good = d_fwd < 1e-2 and dmax < 1e-3
-            ok = ok and good
-            print(f"dwconv {tag} ({b},{h},{w},{c}) fwd diff {d_fwd:.2e} "
-                  f"grad diff {dmax:.2e} {'OK' if good else 'FAIL'}")
+        for k in (3, 7):
+            for tag in ("cpe", "crpe"):
+                x = jax.random.normal(key, (b, h, w, c), jnp.float32)
+                q = jax.random.normal(jax.random.fold_in(key, 9),
+                                      (b, h, w, c))
+                wgt = 0.3 * jax.random.normal(
+                    jax.random.fold_in(key, 1), (k, k, c), jnp.float32)
+                bia = 0.1 * jax.random.normal(
+                    jax.random.fold_in(key, 2), (c,), jnp.float32)
+                if tag == "cpe":
+                    rp = jax.jit(lambda x, w_, b_, q_: cpe_conv_pallas(
+                        x, w_, b_))
+                    rx = jax.jit(lambda x, w_, b_, q_: cpe_conv_xla(
+                        x, w_, b_))
+                else:
+                    rp = jax.jit(lambda x, w_, b_, q_: crpe_conv_pallas(
+                        q_, x, w_, b_))
+                    rx = jax.jit(lambda x, w_, b_, q_: crpe_conv_xla(
+                        q_, x, w_, b_))
+                fp = jax.jit(lambda x, w_, b_, q_, f=rp: jnp.sum(
+                    jnp.sin(f(x, w_, b_, q_))))
+                fx = jax.jit(lambda x, w_, b_, q_, f=rx: jnp.sum(
+                    jnp.sin(f(x, w_, b_, q_))))
+                with jax.default_matmul_precision("highest"):
+                    # element-wise forward check (a reduced-scalar compare
+                    # lets per-element errors cancel)
+                    d_fwd = float(jnp.abs(rp(x, wgt, bia, q)
+                                          - rx(x, wgt, bia, q)).max())
+                    gp = jax.jit(jax.grad(fp, argnums=(0, 1, 2, 3)))(
+                        x, wgt, bia, q)
+                    gx = jax.jit(jax.grad(fx, argnums=(0, 1, 2, 3)))(
+                        x, wgt, bia, q)
+                dmax = max(float(jnp.abs(a - e).max())
+                           for a, e in zip(gp, gx))
+                good = d_fwd < 1e-3 and dmax < 1e-3
+                ok = ok and good
+                print(f"dwconv {tag} k={k} ({b},{h},{w},{c}) "
+                      f"fwd diff {d_fwd:.2e} grad diff {dmax:.2e} "
+                      f"{'OK' if good else 'FAIL'}")
     return ok
 
 

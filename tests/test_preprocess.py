@@ -88,6 +88,50 @@ def test_skd_layout_and_diagnosis(tmp_path):
     assert diag["dermquest_xyz_orig"] == "Benign"
 
 
+def test_interpolation_kernel_choice_per_dataset():
+    """Pin the per-dataset resize kernels to the reference's
+    (process_resize.py: ISIC INTER_CUBIC img / INTER_NEAREST mask :45-46;
+    PH2/SKD/DMF INTER_AREA for both :76-77,114-115,147-149)."""
+    assert preprocess.RESAMPLE["isic2018"] == {"image": "BICUBIC",
+                                               "mask": "NEAREST"}
+    for ds in ("PH2", "DMF", "SKD"):
+        assert preprocess.RESAMPLE[ds] == {"image": "BOX", "mask": "BOX"}
+
+
+def test_box_resize_is_area_average():
+    """PIL BOX downscale at an integer factor must equal the exact block
+    mean (what cv2.INTER_AREA computes), pinned against a precomputed
+    area-average array."""
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 255, (16, 16), dtype=np.uint8)
+    got = preprocess.resize_array(arr, "BOX", size=4)
+    want = arr.reshape(4, 4, 4, 4).mean(axis=(1, 3))
+    # PIL accumulates in fixed point, so allow rounding to the neighbouring
+    # uint8 value (<1 count); BICUBIC/NEAREST deviate by tens of counts here
+    assert np.abs(got.astype(np.float64) - want).max() < 1.0
+    nearest = preprocess.resize_array(arr, "NEAREST", size=4)
+    assert np.abs(nearest.astype(np.float64) - want).max() > 5.0
+
+
+def test_area_mask_binarization(tmp_path):
+    """PH2-style masks go through area resize then the >0.5 threshold —
+    matching the reference's INTER_AREA resize + create_dataset.py load-time
+    binarization. A half-covered block must round by area fraction, which
+    NEAREST would get wrong."""
+    # 8×8 mask: left half 255 → 2×2 output: left column avg 255 (→1),
+    # right column avg 0 (→0)
+    m = np.zeros((8, 8), dtype=np.uint8)
+    m[:, :4] = 255
+    small = preprocess.resize_array(m, "BOX", size=2)
+    assert (small[:, 0] > 127).all() and (small[:, 1] <= 127).all()
+    # a 3/4-covered block area-averages above threshold, a 1/4 one below
+    m2 = np.zeros((8, 8), dtype=np.uint8)
+    m2[:3, :4] = 255   # 3 of 4 rows of the top-left 4×4 block
+    m2[:1, 4:] = 255   # 1 of 4 rows of the top-right 4×4 block
+    s2 = preprocess.resize_array(m2, "BOX", size=2)
+    assert s2[0, 0] > 127 and s2[0, 1] <= 127
+
+
 def test_dmf_layout_and_diagnosis(tmp_path):
     """DMF: nested <id>/<id>.png + <id>mask.png; diagnosis = dx.title() from
     meta.csv (create_meta.ipynb cell 11)."""
