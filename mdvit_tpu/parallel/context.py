@@ -29,11 +29,12 @@ inputs whose token grids exceed one chip's HBM.
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def axis_size(axis_name: str) -> int:
@@ -111,3 +112,125 @@ def stage_apply_context_parallel(
         check_vma=False,
     )(variables, x_grid, domain_onehot, rngs)
     return out.reshape(b, ntok, c)
+
+
+# --------------------------------------------------------------------------
+# End-to-end context parallelism (GSPMD)
+#
+# The stage-level shard_map above inserts every collective by hand; for the
+# FULL model (stem convs, strided patch embeds, token reshapes, bridge,
+# decoder upsampling, BN moments) the TPU-native route is GSPMD: annotate the
+# input image rows as sharded over the ``ctx`` mesh axis and let XLA's SPMD
+# partitioner derive the halo exchanges for the spatial convolutions, the
+# psums for the factorized attention's KᵀV/softmax reductions and the BN
+# moments, and the sharded layouts through the (B,H,W,C)↔(B,H·W,C) reshapes
+# (row-major, so row-sharded H maps to contiguous token shards). Everything
+# is jitted on GLOBAL shapes, so the hash-RNG dropout/DropPath masks are
+# bit-identical to the unsharded program — unlike the shard_map path, no
+# decorrelation is needed, and numerics match exactly (up to fp reduction
+# order in the collectives).
+#
+# CONSTRAINT (measured, not theoretical): every sharded spatial dim must be
+# ≥ the ctx axis size. When a grid dim is SMALLER than the mesh axis (e.g. a
+# 2×2 bridge grid over 4 shards, so some shards hold only padding), the SPMD
+# partitioner's FORWARD is still exact but its BACKWARD is not: grads of
+# every op upstream of the degenerate grid come out inflated ~3–4× (found by
+# the gradient-parity test in tests/test_context_parallel.py; reproduced
+# minimally on the CPU backend — clean at min-grid ≥ n_shards, broken below).
+# BASE's deepest grid is img/32, hence the img_size ≥ 32·n_ctx guard below —
+# which is no practical loss: CP exists for ≥512² inputs (n_ctx ≤ 16 there).
+
+# total stem+patch-embed downsampling to the deepest (bridge) grid in the
+# BASE/MDViT encoder (models/base.py: stem /4, three strided embeds /2 each)
+_BASE_TOTAL_STRIDE = 32
+
+
+def _check_min_grid(model, x, mesh: Mesh, axis_name: str) -> None:
+    n_ctx = mesh.shape[axis_name]
+    stride = getattr(model, "total_stride", _BASE_TOTAL_STRIDE)
+    min_grid = x.shape[1] // stride
+    if min_grid < n_ctx:
+        raise ValueError(
+            f"context parallelism needs every sharded grid dim >= the ctx "
+            f"axis ({n_ctx}); input H={x.shape[1]} reaches a "
+            f"{min_grid}x{min_grid} deepest grid (total stride {stride}). "
+            f"XLA SPMD's backward is measurably wrong (~3-4x inflated "
+            f"grads) when shards of a dim are pure padding — use "
+            f"img_size >= {stride * n_ctx} or a smaller ctx axis."
+        )
+
+
+def make_context_mesh(n_devices: int | None = None,
+                      axis_name: str = "ctx") -> Mesh:
+    """A 1-D mesh over the token/row axis (sequence parallelism)."""
+    from mdvit_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n_devices, axis_name=axis_name)
+
+
+def model_apply_context_parallel(model, variables, x, domain_onehot,
+                                 mesh: Mesh, axis_name: str = "ctx",
+                                 train: bool = False, rngs=None,
+                                 **apply_kwargs):
+    """Full-model forward with image rows (hence every stage's token grid)
+    sharded over ``mesh[axis_name]`` via GSPMD. ``x`` is the global
+    ``(B, H, W, C)`` batch; params/outputs are replicated."""
+    _check_min_grid(model, x, mesh, axis_name)
+    rep = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P(None, axis_name))
+
+    @functools.partial(jax.jit, in_shardings=(rep, rows, rep),
+                       out_shardings=rep)
+    def fwd(v, xx, oh):
+        return model.apply(v, xx, oh, train=train,
+                           rngs=rngs, **apply_kwargs)
+
+    return fwd(variables, x, domain_onehot)
+
+
+def make_context_parallel_train_step(model, tx, mesh: Mesh,
+                                     axis_name: str = "ctx"):
+    """A jitted single-loss (BASE-family) train step whose activations are
+    row-sharded over ``mesh[axis_name]`` end-to-end: input batch sharded on
+    H, params/optimizer state replicated, gradients reduced by GSPMD.
+
+    This is the training-side counterpart of
+    ``model_apply_context_parallel`` — sequence parallelism for
+    high-resolution inputs whose activation footprint exceeds one chip's
+    HBM (grads/optimizer are small here: ~35 M params). Exactness vs the
+    unsharded step is pinned by tests/test_context_parallel.py (losses,
+    gradients, and BN stats; see that test for why raw post-Adam params
+    are only bounded). Requires img_size ≥ 32·n_ctx — see module notes on
+    the degenerate-shard backward miscompile.
+    """
+    import optax
+
+    from mdvit_tpu.train.losses import seg_loss_from_logits
+
+    rep = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P(None, axis_name))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=((rep, rep, rep), rows, rows, rep, rep),
+        out_shardings=((rep, rep, rep), rep),
+    )
+    def step(state, x, y, onehot, rng):
+        _check_min_grid(model, x, mesh, axis_name)  # shapes concrete at trace
+        params, batch_stats, opt_state = state
+
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                x, onehot, train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+            return seg_loss_from_logits(out["seg"], y), mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return (new_params, new_stats, new_opt), loss
+
+    return step

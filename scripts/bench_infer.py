@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a 10-iteration device trace per batch size "
+                         "into DIR/b<batch> (roll up with parse_xplane.py)")
     args = ap.parse_args()
 
     from mdvit_tpu.models.registry import get_model
@@ -80,6 +83,11 @@ def main():
             probs = forward(variables, x, onehot)
         jax.block_until_ready(probs)
         dt = time.perf_counter() - t0
+        if args.profile:
+            with jax.profiler.trace(os.path.join(args.profile, f"b{b}")):
+                for _ in range(10):
+                    probs = forward(variables, x, onehot)
+                jax.block_until_ready(probs)
         print(json.dumps({
             "metric": f"{args.model.lower()}_{args.img}_infer",
             "batch": b,

@@ -67,12 +67,20 @@ def validate_dwconv(key) -> bool:
                         x, wgt, bia, q)
                     gx = jax.jit(jax.grad(fx, argnums=(0, 1, 2, 3)))(
                         x, wgt, bia, q)
-                dmax = max(float(jnp.abs(a - e).max())
-                           for a, e in zip(gp, gx))
-                good = d_fwd < 1e-3 and dmax < 1e-3
+                # dw/db are B·H·W-element reductions: both sides are fp32 but
+                # accumulate in different orders (VPU tree vs MXU conv), so
+                # compare relative to each gradient's own scale. Expected
+                # noise ≈ eps·sqrt(n) ~ 3e-5 at n=65k; logic bugs are ≥1e-2
+                # relative. The forward stays bit-exact (no reductions).
+                drel = max(
+                    float(jnp.abs(a - e).max())
+                    / max(float(jnp.abs(e).max()), 1e-20)
+                    for a, e in zip(gp, gx)
+                )
+                good = d_fwd < 1e-3 and drel < 1e-4
                 ok = ok and good
                 print(f"dwconv {tag} k={k} ({b},{h},{w},{c}) "
-                      f"fwd diff {d_fwd:.2e} grad diff {dmax:.2e} "
+                      f"fwd diff {d_fwd:.2e} grad rel diff {drel:.2e} "
                       f"{'OK' if good else 'FAIL'}")
     return ok
 

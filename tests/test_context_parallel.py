@@ -176,3 +176,156 @@ def test_train_mode_runs_and_dropout_decorrelated():
     )(same_rows, jax.random.PRNGKey(5))
     shards = np.asarray(masked).reshape(B, 4, (H // 4) * W, DIM)
     assert not np.array_equal(shards[:, 0] == 0, shards[:, 1] == 0)
+
+
+# ------------------------------------------------------- end-to-end (GSPMD)
+
+def _tiny_base(drop=0.0):
+    from mdvit_tpu.models.base import BASE
+
+    return BASE(
+        img_size=64, num_layers=(1, 1, 1, 1), embed_dims=(8, 16, 16, 24),
+        mlp_ratios=(2, 2, 2, 2), num_heads=(8, 8, 8, 8), adapt="Sup",
+        num_domains=4, drop_rate=drop, drop_path_rate=drop,
+    )
+
+
+def test_e2e_forward_matches_unsharded():
+    """Full BASE forward (stem → strided patch embeds → 4 MHSA stages →
+    bridge → 4 decoder blocks → head) with image rows sharded over a 2-way
+    ctx mesh via GSPMD must equal the single-device forward. Covers the
+    spatial-conv halos, token reshapes, BN moments, and bilinear upsampling
+    that the stage-level shard_map path does not. 2-way because the tiny
+    64² model's deepest grid is 2×2 — the min-grid guard (parallel/
+    context.py) rejects more shards than rows, where XLA SPMD's backward
+    is measurably wrong."""
+    from mdvit_tpu.parallel.context import model_apply_context_parallel
+
+    model = _tiny_base()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3), jnp.float32)
+    dom = jax.nn.one_hot(jnp.array([1, 3]), 4)
+    variables = jax.jit(
+        lambda k: model.init({"params": k, "dropout": k}, x, dom,
+                             train=False))(jax.random.PRNGKey(1))
+    ref = jax.jit(lambda v, xx, oh: model.apply(v, xx, oh, train=False))(
+        variables, x, dom)
+    cp = model_apply_context_parallel(model, variables, x, dom, _mesh(2))
+    # GSPMD reorders the psum/BN-moment reductions across shards; at these
+    # logit scales (|seg| up to ~10) fp32 reduction-order noise is ~1e-4.
+    np.testing.assert_allclose(np.asarray(cp["seg"]),
+                               np.asarray(ref["seg"]),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(cp["feat"]),
+                               np.asarray(ref["feat"]),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_e2e_train_step_matches_unsharded():
+    """One full BASE train step (BCE+dice, AdamW, BN stat update) on the
+    2-way ctx mesh vs the identical step on a 1-device mesh.
+
+    Loss, gradients, and BN stats must agree to fp32 reduction-order
+    noise (GSPMD grads ≡ single-device grads). Updated PARAMS are only
+    bounded, not matched elementwise: Adam's first step is
+    lr·m̂/(√v̂+ε) ≈ ±lr for ANY nonzero gradient, so where a true grad
+    element is ~0 the reduction noise picks the sign and the update
+    flips by the full 2·lr — that is optimizer saturation, not a
+    sharding bug."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mdvit_tpu.parallel.context import make_context_parallel_train_step
+    from mdvit_tpu.train.losses import seg_loss_from_logits
+
+    model = _tiny_base()
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3), jnp.float32)
+    y = (jax.random.uniform(jax.random.PRNGKey(3), (2, 64, 64, 1)) > 0.5
+         ).astype(jnp.float32)
+    dom = jax.nn.one_hot(jnp.array([0, 2]), 4)
+    variables = jax.jit(
+        lambda k: model.init({"params": k, "dropout": k}, x, dom,
+                             train=False))(jax.random.PRNGKey(1))
+    tx = optax.adamw(1e-4, weight_decay=0.05)
+    state0 = (variables["params"], variables["batch_stats"],
+              tx.init(variables["params"]))
+    rng = jax.random.PRNGKey(9)
+
+    def loss_fn(p, bs, xx, yy, oh):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": bs}, xx, oh, train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        return seg_loss_from_logits(out["seg"], yy)
+
+    def grads_on(mesh):
+        rep = NamedSharding(mesh, P())
+        rows = NamedSharding(mesh, P(None, "ctx"))
+        g = jax.jit(jax.grad(loss_fn),
+                    in_shardings=(rep, rep, rows, rows, rep),
+                    out_shardings=rep)
+        return g(state0[0], state0[1], x, y, dom)
+
+    g1 = grads_on(_mesh(1))
+    g4 = grads_on(_mesh(2))
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g4)):
+        a, b = np.asarray(a), np.asarray(b)
+        # fp32 reduction-order noise through the 16-block backward chain
+        # reaches ~2e-4 of each leaf's scale; the 1e-6 floor covers leaves
+        # whose TRUE grad is ~0 (a conv bias feeding a BN) and which hold
+        # pure noise. Semantic failures (the degenerate-shard miscompile
+        # this test exists to catch) are ≥3x on O(0.1..1)-scale leaves.
+        np.testing.assert_allclose(
+            b, a, rtol=1e-3, atol=max(3e-4 * np.abs(a).max(), 1e-6))
+
+    step1 = make_context_parallel_train_step(model, tx, _mesh(1))
+    step4 = make_context_parallel_train_step(model, tx, _mesh(2))
+    (p1, s1, _), loss1 = step1(state0, x, y, dom, rng)
+    (p4, s4, _), loss4 = step4(state0, x, y, dom, rng)
+
+    # sharded BCE/dice reductions + GSPMD grad psums reorder fp32 sums
+    np.testing.assert_allclose(float(loss4), float(loss1), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p4)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2.05e-4)  # ≤ 2·lr (see docstring)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s4)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_e2e_train_mode_dropout_exact_under_gspmd():
+    """With drop_rate>0 the GSPMD path still matches the unsharded program
+    bit-for-bit in mask placement: the hash-RNG draws are traced on GLOBAL
+    shapes, so sharding cannot change them (contrast with the shard_map
+    path, which decorrelates masks per shard by design)."""
+    from mdvit_tpu.parallel.context import model_apply_context_parallel
+
+    model = _tiny_base(drop=0.3)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 64, 64, 3), jnp.float32)
+    dom = jax.nn.one_hot(jnp.array([1, 2]), 4)
+    variables = jax.jit(
+        lambda k: model.init({"params": k, "dropout": k}, x, dom,
+                             train=False))(jax.random.PRNGKey(1))
+    rngs = {"dropout": jax.random.PRNGKey(7)}
+    ref, _ = jax.jit(lambda v, xx, oh: model.apply(
+        v, xx, oh, train=True, rngs=rngs,
+        mutable=["batch_stats"]))(variables, x, dom)
+    cp, _ = model_apply_context_parallel(model, variables, x, dom, _mesh(2),
+                                         train=True, rngs=rngs,
+                                         mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(cp["seg"]), np.asarray(ref["seg"]),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_e2e_min_grid_guard():
+    """More ctx shards than deepest-grid rows must be rejected up front:
+    XLA SPMD's backward inflates grads ~3-4x when some shards of a dim are
+    pure padding (found by the gradient-parity test at 64²/4-way; verified
+    clean at min-grid >= n_shards)."""
+    import pytest
+
+    from mdvit_tpu.parallel.context import model_apply_context_parallel
+
+    model = _tiny_base()
+    x = jnp.zeros((1, 64, 64, 3))
+    dom = jax.nn.one_hot(jnp.array([0]), 4)
+    with pytest.raises(ValueError, match="ctx"):
+        model_apply_context_parallel(model, {}, x, dom, _mesh(4))
