@@ -8,6 +8,7 @@ the plain and "_M" (domain-specific-norm) reference variants are one module.
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple, Sequence
 
 import flax.linen as nn
@@ -16,6 +17,13 @@ import jax.numpy as jnp
 
 from mdvit_tpu.ops.initializers import conv_kaiming_fanout, dense_trunc_normal
 from mdvit_tpu.ops.norm import DomainBatchNorm
+
+# Perf experiment knob (read once at import, like MDVIT_DWCONV): the
+# reference's GELU is exact erf (torch nn.GELU()); `MDVIT_GELU=tanh` swaps
+# in the tanh approximation to measure the VPU-transcendental share of the
+# elementwise bucket on the widest (B,N,4C) MLP tensors. Non-parity —
+# bench/ablation use only.
+_GELU_APPROX = os.environ.get("MDVIT_GELU", "erf") == "tanh"
 
 
 class NormSpec(NamedTuple):
@@ -50,7 +58,7 @@ def get_act(name: str | None) -> Callable[[jax.Array], jax.Array]:
         "hardswish": jax.nn.hard_swish,
         "relu": jax.nn.relu,
         "relu6": jax.nn.relu6,
-        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+        "gelu": lambda x: jax.nn.gelu(x, approximate=_GELU_APPROX),
         "sigmoid": jax.nn.sigmoid,
     }[name]
 

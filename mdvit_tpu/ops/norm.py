@@ -26,13 +26,21 @@ DSN BN (``bns[d]``)   True                group=True,  run=True
 
 Normalization math matches torch BatchNorm2d: biased variance for the
 forward, unbiased variance folded into running stats, momentum 0.1, eps 1e-5.
-Statistics are always computed in float32.
+Statistics are always computed in float32 (except under the
+``MDVIT_LN_NATIVE=1`` perf-ablation knob below).
 """
 from __future__ import annotations
+
+import os
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+# Perf experiment knob: LayerNorm moments/affine in the INPUT dtype instead
+# of fp32 (halves the VPU work of the LN chains when activations are bf16).
+# Non-parity — bench/ablation use only; parity tests run with it unset.
+_LN_NATIVE = os.environ.get("MDVIT_LN_NATIVE", "0") == "1"
 
 
 class DomainBatchNorm(nn.Module):
@@ -192,10 +200,11 @@ class DomainLayerNorm(nn.Module):
     ) -> jax.Array:
         c = self.num_features
         orig_dtype = x.dtype
-        xf = x.astype(jnp.float32)
+        cdt = orig_dtype if _LN_NATIVE else jnp.float32
+        xf = x.astype(cdt)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = (xf - mean) * jax.lax.rsqrt(var + jnp.asarray(self.eps, cdt))
         if self.per_domain and domain_onehot is None:
             # same contract (and same escape hatch) as DomainBatchNorm
             if self.num_domains == 1:
@@ -211,13 +220,13 @@ class DomainLayerNorm(nn.Module):
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.num_domains, c)
             )
-            oh = domain_onehot.astype(jnp.float32)
-            sc = oh @ scale.astype(jnp.float32)  # (B, C)
-            bi = oh @ bias.astype(jnp.float32)
+            oh = domain_onehot.astype(cdt)
+            sc = oh @ scale.astype(cdt)  # (B, C)
+            bi = oh @ bias.astype(cdt)
             bshape = (-1,) + (1,) * (x.ndim - 2) + (c,)
             y = y * sc.reshape(bshape) + bi.reshape(bshape)
         else:
             scale = self.param("scale", nn.initializers.ones, (c,))
             bias = self.param("bias", nn.initializers.zeros, (c,))
-            y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+            y = y * scale.astype(cdt) + bias.astype(cdt)
         return y.astype(orig_dtype)

@@ -22,11 +22,14 @@ on non-TPU backends (pallas_supported()).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+_SOFTMAX_NATIVE = os.environ.get("MDVIT_SOFTMAX_NATIVE", "0") == "1"
 
 
 def pallas_supported() -> bool:
@@ -215,8 +218,10 @@ def factorized_attention_xla(q, k, v, ch: int, scale: float,
     c = q.shape[-1]
     tok_axes = (1,) if q.ndim == 3 else (1, 2)
     if axis_name is None:
-        ks = jax.nn.softmax(k.astype(jnp.float32), axis=tok_axes).astype(
-            q.dtype)
+        # MDVIT_SOFTMAX_NATIVE=1: perf ablation — column softmax in the
+        # input dtype instead of fp32 (non-parity; bench use only).
+        sdt = k.dtype if _SOFTMAX_NATIVE else jnp.float32
+        ks = jax.nn.softmax(k.astype(sdt), axis=tok_axes).astype(q.dtype)
     else:
         kf = k.astype(jnp.float32)
         # stop_gradient BEFORE pmax: the max-shift cancels analytically in

@@ -158,6 +158,25 @@ def _check_min_grid(model, x, mesh: Mesh, axis_name: str) -> None:
             f"grads) when shards of a dim are pure padding — use "
             f"img_size >= {stride * n_ctx} or a smaller ctx axis."
         )
+    if "data" in mesh.axis_names:
+        # Composed DP×CP meshes have a second measured failure mode: with a
+        # 1-sample × 1-row shard tile at the deepest grid, SPMD corrupts the
+        # deepest decoder's BN stat update (~2x) and shifts the loss ~1e-4 —
+        # clean as soon as either factor is >= 2 (verified at img64/B4 and
+        # img128/B2 on a (2,2) mesh; broken only at img64/B2).
+        n_data = mesh.shape["data"]
+        if x.shape[0] % n_data:
+            raise ValueError(
+                f"batch {x.shape[0]} not divisible by the data axis "
+                f"({n_data})")
+        if (x.shape[0] // n_data) * (min_grid // n_ctx) < 2:
+            raise ValueError(
+                f"DP x CP composed mesh needs >= 2 samples-or-rows per "
+                f"shard at the deepest grid: batch/data = "
+                f"{x.shape[0] // n_data}, grid/ctx = {min_grid // n_ctx} "
+                f"(XLA SPMD miscompiles the 1x1-tile case; see module "
+                f"notes). Grow the batch, the image, or shrink the mesh."
+            )
 
 
 def make_context_mesh(n_devices: int | None = None,
@@ -166,6 +185,31 @@ def make_context_mesh(n_devices: int | None = None,
     from mdvit_tpu.parallel.mesh import make_mesh
 
     return make_mesh(n_devices, axis_name=axis_name)
+
+
+def make_dp_context_mesh(n_data: int, n_ctx: int,
+                         axis_names: Tuple[str, str] = ("data", "ctx"),
+                         ) -> Mesh:
+    """A 2-D ``(data, ctx)`` mesh: batch sharded over ``data``, image rows
+    over ``ctx``. The CP entry points below shard on BOTH axes whenever the
+    mesh carries a ``data`` axis, composing data and sequence parallelism
+    in one jitted program (GSPMD inserts the grad all-reduce over ``data``
+    and the halo/psum collectives over ``ctx``)."""
+    import numpy as np
+
+    devices = jax.devices()
+    need = n_data * n_ctx
+    if need > len(devices):
+        raise ValueError(
+            f"requested a {n_data}x{n_ctx} mesh but only {len(devices)} "
+            "devices are visible")
+    return Mesh(np.array(devices[:need]).reshape(n_data, n_ctx), axis_names)
+
+
+def _rows_spec(mesh: Mesh, axis_name: str) -> P:
+    """Batch on ``data`` too when the mesh has that axis (DP×CP)."""
+    batch_axis = "data" if "data" in mesh.axis_names else None
+    return P(batch_axis, axis_name)
 
 
 def model_apply_context_parallel(model, variables, x, domain_onehot,
@@ -177,7 +221,7 @@ def model_apply_context_parallel(model, variables, x, domain_onehot,
     ``(B, H, W, C)`` batch; params/outputs are replicated."""
     _check_min_grid(model, x, mesh, axis_name)
     rep = NamedSharding(mesh, P())
-    rows = NamedSharding(mesh, P(None, axis_name))
+    rows = NamedSharding(mesh, _rows_spec(mesh, axis_name))
 
     @functools.partial(jax.jit, in_shardings=(rep, rows, rep),
                        out_shardings=rep)
@@ -208,7 +252,7 @@ def make_context_parallel_train_step(model, tx, mesh: Mesh,
     from mdvit_tpu.train.losses import seg_loss_from_logits
 
     rep = NamedSharding(mesh, P())
-    rows = NamedSharding(mesh, P(None, axis_name))
+    rows = NamedSharding(mesh, _rows_spec(mesh, axis_name))
 
     @functools.partial(
         jax.jit,
