@@ -18,12 +18,63 @@ import jax.numpy as jnp
 from mdvit_tpu.ops.initializers import conv_kaiming_fanout, dense_trunc_normal
 from mdvit_tpu.ops.norm import DomainBatchNorm
 
-# Perf experiment knob (read once at import, like MDVIT_DWCONV): the
-# reference's GELU is exact erf (torch nn.GELU()); `MDVIT_GELU=tanh` swaps
-# in the tanh approximation to measure the VPU-transcendental share of the
-# elementwise bucket on the widest (B,N,4C) MLP tensors. Non-parity —
-# bench/ablation use only.
-_GELU_APPROX = os.environ.get("MDVIT_GELU", "erf") == "tanh"
+# GELU implementation knob (read once at import, like MDVIT_DWCONV). The
+# reference's GELU is exact erf (torch nn.GELU()). The round-4 elementwise
+# ablation sweep attributed +6% end-to-end train throughput to the erf
+# evaluation alone (MDVIT_GELU=tanh: 344.3 → 362–367 img/s across runs).
+#
+# Chasing that win parity-safely uncovered that the speed does NOT come
+# from op counts — it is a STRUCTURAL fast lowering XLA:TPU applies to the
+# exact ``jax.nn.gelu(approximate=True)`` graph shape
+# ``x * (0.5 * (1 + tanh(b * (x + a * x**3))))``. Measured back-to-back on
+# the full train step (img/s): exact erf 346.2; deg-15 clamped polynomial
+# (fewer FLOPs than erf!) 318.4; 3-term tanh-argument variant with a clamp
+# 343.8–345.6 (f32 or bf16 internals alike); the verbatim 2-term graph
+# 365.7; the same graph with refit constants 365.5. Any structural
+# deviation — a clamp, a Horner argument, an extra term — falls off the
+# fast path and loses the entire win.
+#
+# Production bf16 therefore uses the verbatim structure with MINIMAX-REFIT
+# constants targeting the exact erf GELU: max |err| 2.7e-4 forward /
+# 8.7e-4 gradient (the Hendrycks constants give 4.7e-4 / 8.7e-4) — both
+# far below bf16 resolution (eps ≈ 7.8e-3). On bf16 tensors its absolute
+# deviation from the true GELU (≤9.3e-3, at O(1) values' half-ulp) is the
+# same size as XLA's own erf-on-bf16 rounding (9.8e-3); the one behavioral
+# difference is that deep-negative-tail outputs (|gelu| < ~5e-3, x around
+# −3.5) can flush toward 0 where bf16 tanh saturates early — half a bf16
+# ulp at unit activation scale. Pinned in tests/test_poly_gelu.py.
+#
+# Modes: auto (default) = fast for bf16 inputs / exact erf otherwise (fp32
+# parity runs are untouched); erf / fast / tanh force one implementation
+# (tanh = the stock Hendrycks constants, kept as the ablation knob).
+_GELU_MODE = os.environ.get("MDVIT_GELU", "auto")
+
+# Minimax fit of (b, a) in 0.5·x·(1+tanh(b(x+ax³))) to x·Φ(x) over [0,10];
+# w is monotone (a>0) so no clamp is needed and the tails saturate exactly
+# (tanh(w(8)) = 1.0 in f32 ⇒ gelu(x≥8) = x, gelu(x≤−8) = 0).
+_GELU_FIT_B = 0.8001570785492365
+_GELU_FIT_A = 0.043367601640219106
+
+
+def fast_gelu(x: jax.Array) -> jax.Array:
+    """erf-accurate GELU on XLA:TPU's fast tanh-GELU lowering.
+
+    MUST keep the exact ``jax.nn.gelu(approximate=True)`` graph structure
+    (including ``x ** 3``) — see the module comment for the measurements;
+    only the two constants differ (refit to the exact erf GELU).
+    """
+    b = jnp.asarray(_GELU_FIT_B, x.dtype)
+    cdf = 0.5 * (1.0 + jnp.tanh(b * (x + _GELU_FIT_A * (x ** 3))))
+    return x * cdf
+
+
+def _gelu(x: jax.Array) -> jax.Array:
+    mode = _GELU_MODE
+    if mode == "auto":
+        mode = "fast" if x.dtype == jnp.bfloat16 else "erf"
+    if mode == "fast":
+        return fast_gelu(x)
+    return jax.nn.gelu(x, approximate=(mode == "tanh"))
 
 
 class NormSpec(NamedTuple):
@@ -58,7 +109,7 @@ def get_act(name: str | None) -> Callable[[jax.Array], jax.Array]:
         "hardswish": jax.nn.hard_swish,
         "relu": jax.nn.relu,
         "relu6": jax.nn.relu6,
-        "gelu": lambda x: jax.nn.gelu(x, approximate=_GELU_APPROX),
+        "gelu": _gelu,
         "sigmoid": jax.nn.sigmoid,
     }[name]
 
