@@ -182,7 +182,12 @@ def main():
     files = gather_inputs(args.inputs)
     os.makedirs(args.out_dir, exist_ok=True)
 
-    bs = max(1, args.batch_size)
+    # Cap the jitted micro-batch at 16: on v5e, XLA schedules the stage-1
+    # CRPE depthwise convolutions ~6× worse per image at batch 64 than at
+    # batch 16 (profiled — README §Serving throughput), so large requested
+    # batches stream faster as batch-16 device calls. --batch_size still
+    # controls the per-iteration I/O granularity the user sees.
+    bs = min(max(1, args.batch_size), 16)
     onehot = jnp.zeros((bs, num_domains), jnp.float32).at[:, args.domain].set(
         1.0)
     variables = load_variables(args.ckpt_dir, config, model, mkd, bs)
