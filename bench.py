@@ -133,7 +133,13 @@ def main():
         "metric": "mdvit_4domain_256_train_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),
         "unit": "img/s",
+        # vs_baseline = ratio to 1x the (optimistic) A100 estimate below;
+        # BASELINE.json's north-star target is 5x that estimate, reported
+        # separately as vs_target_5x so the recorded line is self-describing.
         "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
+        "a100_estimate": A100_BASELINE_IMG_PER_SEC,
+        "vs_target_5x": round(
+            imgs_per_sec / (5.0 * A100_BASELINE_IMG_PER_SEC), 3),
     }
     step_s = dt / ITERS
     if flops:
