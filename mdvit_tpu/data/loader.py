@@ -91,17 +91,27 @@ def gather_batch(
     return imgs, masks, onehot
 
 
-def eval_batches(domain: DomainArrays, batch_size: int):
+def eval_batches(domain: DomainArrays, batch_size: int, pad_to: int | None = None):
     """Yield padded eval batches (images, masks, valid_count). Pads the ragged
-    tail to keep shapes static for jit; metrics must mask by valid_count."""
+    tail to keep shapes static for jit; metrics must mask by valid_count.
+
+    ``pad_to`` (≥ batch_size) pads EVERY batch to that static size while the
+    iteration — and therefore the metric grouping — stays at ``batch_size``.
+    Dice/IoU here are medpy-global per eval batch then batch-weighted, so the
+    grouping is part of the metric protocol: DP meshes pass ``pad_to`` = the
+    next mesh multiple instead of raising the batch size, keeping N-device
+    ``evaluate()`` bit-comparable to the single-chip protocol
+    (reference batch-weighted protocol, ``multi_train_MDViT.py:273-291``).
+    """
     n = len(domain)
+    pad_to = batch_size if pad_to is None else max(pad_to, batch_size)
     for start in range(0, n, batch_size):
         stop = min(start + batch_size, n)
         imgs = domain.images[start:stop].astype(np.float32)
         msks = domain.masks[start:stop].astype(np.float32)
         valid = stop - start
-        if valid < batch_size:
-            pad = batch_size - valid
+        if valid < pad_to:
+            pad = pad_to - valid
             imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], np.float32)])
             msks = np.concatenate([msks, np.zeros((pad,) + msks.shape[1:], np.float32)])
         yield imgs, msks, valid

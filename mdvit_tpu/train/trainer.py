@@ -383,18 +383,22 @@ class Trainer:
         """Per-domain batch-weighted loss/dice/iou (reference protocol)."""
         results = {}
         eval_bs = int(self.config.test.batch_size)
+        pad_to = eval_bs
         if self.mesh is not None:
-            # even shards for the sharded eval step; eval_batches pads the
-            # ragged tail and metrics mask by valid count, so rounding the
-            # batch up changes nothing but the padding amount
+            # even shards for the sharded eval step: pad every batch up to a
+            # mesh multiple but keep ITERATING at the nominal batch size —
+            # Dice/IoU are medpy-global per eval batch then batch-weighted,
+            # so the grouping is part of the metric protocol and must not
+            # change with the device count (tests/test_trainer_dp.py pins
+            # 1-device ≡ N-device evaluate())
             n = int(self.mesh.devices.size)
-            eval_bs = ((eval_bs + n - 1) // n) * n
+            pad_to = ((eval_bs + n - 1) // n) * n
         for di, n in enumerate(self.names):
             dom = self.data[n][split]
             loss_sum = dice_sum = iou_sum = 0.0
             aux_dice_sum = aux_iou_sum = 0.0
             num = 0
-            onehot = np.zeros((eval_bs, self.num_domains), np.float32)
+            onehot = np.zeros((pad_to, self.num_domains), np.float32)
             onehot[:, di] = 1.0
             onehot = jnp.asarray(onehot)
             aux_vars = None
@@ -412,7 +416,7 @@ class Trainer:
             # (a per-batch device_get costs a tunnel round-trip each — at
             # ~200 eval batches/epoch that would dwarf the train step)
             pending = []
-            for imgs, msks, valid in eval_batches(dom, eval_bs):
+            for imgs, msks, valid in eval_batches(dom, eval_bs, pad_to=pad_to):
                 out = self.eval_step(
                     self.state.params, self.state.batch_stats,
                     jnp.asarray(imgs), jnp.asarray(msks),

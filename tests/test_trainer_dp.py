@@ -54,8 +54,8 @@ def test_trainer_builds_mesh_and_shards(tmp_path):
     leaf = jax.tree_util.tree_leaves(tr.state.params)[0]
     assert len(leaf.sharding.device_set) == 8
 
-    # sharded eval through the production path (padded ragged tail: 3 test
-    # samples, eval batch rounded 5 → 8)
+    # sharded eval through the production path (3 test samples, nominal
+    # batch 5, every batch padded up to the mesh multiple 8)
     res = tr.evaluate("test")
     for n in tr.names:
         assert np.isfinite(res[n]["loss"])
@@ -78,3 +78,38 @@ def test_trainer_mesh_shrinks_to_batch_divisor(tmp_path):
     cfg = _config(tmp_path, batch_size=3)
     tr = Trainer(cfg, str(tmp_path / "exp2"))
     assert tr.mesh is not None and tr.mesh.devices.size == 6
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device CPU mesh")
+def test_evaluate_metric_protocol_mesh_invariant(tmp_path):
+    """``evaluate()`` must report the SAME numbers on 1 device and on the
+    8-device mesh for a ``test.batch_size`` (5) that divides neither the test
+    split (7) nor the mesh: Dice/IoU are medpy-global per eval batch then
+    batch-weighted (reference ``multi_train_MDViT.py:273-291``), so the batch
+    grouping is part of the metric protocol — the DP path pads each nominal
+    batch up to a mesh multiple instead of regrouping at a larger batch."""
+    sizes = {"isic2018": [6, 7], "PH2": [6, 7], "DMF": [6, 7], "SKD": [6, 7]}
+
+    def cfg(mesh_data):
+        return load_config(overrides={
+            "debug": True,
+            "data": {"img_size": 16, "synthetic": True,
+                     "synthetic_sizes": sizes},
+            "train": {"num_epochs": 1, "batch_size": 2},
+            "test": {"batch_size": 5},
+            "model_kwargs": TINY_MODEL,
+            "tpu": {"compute_dtype": "float32",
+                    "mesh": {"data": mesh_data}},
+        })
+
+    tr1 = Trainer(cfg(1), str(tmp_path / "exp_1dev"))
+    tr8 = Trainer(cfg(-1), str(tmp_path / "exp_8dev"))
+    assert tr1.mesh is None and tr8.mesh is not None
+    # identical seeded init → identical weights; only the mesh differs
+    res1 = tr1.evaluate("test")
+    res8 = tr8.evaluate("test")
+    for n in tr1.names:
+        for key in ("loss", "dice", "iou", "aux_dice", "aux_iou"):
+            np.testing.assert_allclose(
+                res1[n][key], res8[n][key], rtol=1e-5, atol=1e-6,
+                err_msg=f"{n}/{key} differs between 1-device and mesh eval")
