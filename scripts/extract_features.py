@@ -5,7 +5,9 @@ Capability parity with the reference's feature path used for t-SNE analysis:
 ``SkinClasDataset`` loads whole datasets with diagnosis labels
 (``create_dataset.py:195-248``) and ``model(x, out_seg=False)`` returns the
 pooled stage-4 feature (``mdvit.py:682-684``). Writes one ``.npz`` per
-dataset with ``features (N, C)``, ``diagnosis_id (N,)``, ``ids``.
+dataset with ``features (N, C)``, ``diagnosis_id (N,)`` (from the dataset's
+``meta_<name>.csv``; zeros when absent/synthetic), ``domain_id (N,)``, and
+``ids``.
 
 Usage:
     python scripts/extract_features.py --model MDViT --ckpt results/run/best \
@@ -44,12 +46,24 @@ def main():
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--out", default="./features")
+    p.add_argument("--model_kwargs", default=None,
+                   help="JSON dict of architecture overrides (tiny models "
+                        "for CPU smoke runs), e.g. "
+                        '\'{"embed_dims": [8, 8, 8, 8]}\'')
     args = p.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
     num_domains = len(args.dataset)
+    extra = {}
+    if args.model_kwargs:
+        import json
+
+        extra = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in json.loads(args.model_kwargs).items()
+        }
     model = get_model(args.model, img_size=args.img_size,
-                      num_domains=num_domains, adapt_method="Sup")
+                      num_domains=num_domains, adapt_method="Sup", **extra)
 
     x0 = jnp.zeros((args.batch_size, args.img_size, args.img_size, 3))
     oh0 = jnp.zeros((args.batch_size, num_domains)).at[:, 0].set(1.0)
@@ -82,8 +96,21 @@ def main():
                         jnp.asarray(onehot))
             feats.append(np.asarray(f)[:valid])
         feats = np.concatenate(feats) if feats else np.zeros((0, 1))
+        # per-sample diagnosis labels from the dataset's meta csv, matched by
+        # ID (SkinClasDataset's label channel, create_dataset.py:195-248);
+        # zeros for synthetic corpora / missing csvs
+        diag = np.zeros(len(feats), np.int64)
+        meta_path = os.path.join(args.data_folder, name, f"meta_{name}.csv")
+        if not args.synthetic and os.path.exists(meta_path):
+            import pandas as pd
+
+            meta = pd.read_csv(meta_path, dtype={"ID": str})
+            if "diagnosis_id" in meta.columns:
+                lut = dict(zip(meta["ID"], meta["diagnosis_id"]))
+                diag = np.asarray(
+                    [int(lut.get(str(s), 0)) for s in dom.ids], np.int64)
         out_path = os.path.join(args.out, f"features_{name}.npz")
-        np.savez(out_path, features=feats,
+        np.savez(out_path, features=feats, diagnosis_id=diag,
                  domain_id=np.full(len(feats), dataset_indices.get(name, di)),
                  ids=np.asarray(dom.ids))
         print(f"{name}: {feats.shape} -> {out_path}")
