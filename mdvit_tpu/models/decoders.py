@@ -60,6 +60,10 @@ class UnetDecodingBlockTransformer(nn.Module):
                      name="conv_before")(x)
         out = resize_bilinear(out, skip_size)
         out = jnp.concatenate([skip, out], axis=-1)  # skip first (parity)
+        # NB: the _M/DSN decoder uses Decoders.py's OWN DWConv2d_BN_M
+        # (``Decoders.py:66-106``) — same dw 2C→C groups=C geometry as the
+        # plain DWConv2d_BN, only the bns are per-domain. (mdvit.py:127 has a
+        # different DWConv2d_BN_M, dw in→in, used only by DSN patch embeds.)
         out = DWConvBN(
             features=self.out_channels, kernel_size=3, dw_groups_on="out",
             norm=self.norm, dtype=self.dtype, name="conv_after",

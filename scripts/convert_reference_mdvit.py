@@ -60,6 +60,64 @@ def _ln(sd, p):
     return {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}
 
 
+# ---- DSN ("_M") per-domain norm stacks (``mdvit.py:735-960``): every
+# ``nn.ModuleList`` of norms becomes ONE (D, C) leaf pair matching
+# ``DomainBatchNorm(affine_per_domain/stats_per_domain)`` /
+# ``DomainLayerNorm(per_domain=True)`` ----
+
+def _bn_m(sd, p, d):
+    return (
+        {"scale": np.stack([sd[f"{p}.{i}.weight"] for i in range(d)]),
+         "bias": np.stack([sd[f"{p}.{i}.bias"] for i in range(d)])},
+        {"mean": np.stack([sd[f"{p}.{i}.running_mean"] for i in range(d)]),
+         "var": np.stack([sd[f"{p}.{i}.running_var"] for i in range(d)])},
+    )
+
+
+def _ln_m(sd, p, d):
+    return {"scale": np.stack([sd[f"{p}.{i}.weight"] for i in range(d)]),
+            "bias": np.stack([sd[f"{p}.{i}.bias"] for i in range(d)])}
+
+
+def _convbn_m(sd, p, d):
+    """Conv2d_BN_M (``mdvit.py:23-70``): conv (no bias) + per-domain bns."""
+    bn_p, bn_s = _bn_m(sd, f"{p}.bns", d)
+    return (
+        {"conv": {"kernel": t2f_conv(sd[f"{p}.conv.weight"])}, "bn": bn_p},
+        {"bn": bn_s},
+    )
+
+
+def _dwconvbn_m(sd, p, d):
+    """mdvit.py's DWConv2d_BN_M (``mdvit.py:127-180``): dw in→in groups=in,
+    pw in→out, per-domain bns. Used by the DSN patch embeds."""
+    bn_p, bn_s = _bn_m(sd, f"{p}.bns", d)
+    return (
+        {
+            "dwconv": {"kernel": t2f_conv(sd[f"{p}.dwconv.weight"])},
+            "pwconv": {"kernel": t2f_conv(sd[f"{p}.pwconv.weight"])},
+            "bn": bn_p,
+        },
+        {"bn": bn_s},
+    )
+
+
+def _dwconvbn_out_m(sd, p, d):
+    """Decoders.py's DWConv2d_BN_M (``Decoders.py:66-106``): SAME conv
+    geometry as the plain decoder DWConv2d_BN (dw 2C→C groups=C → our
+    even/odd ``dwconv_kernel``, pw C→C) but per-domain bns."""
+    bn_p, bn_s = _bn_m(sd, f"{p}.bns", d)
+    w = sd[f"{p}.dwconv.weight"]  # (C, 2, k, k)
+    return (
+        {
+            "dwconv_kernel": t2f_conv(w),  # (k, k, 2, C)
+            "pwconv": {"kernel": t2f_conv(sd[f"{p}.pwconv.weight"])},
+            "bn": bn_p,
+        },
+        {"bn": bn_s},
+    )
+
+
 def _convbn(sd, p):
     """Conv2d_BN (``mpvit.py:81-124``): conv (no bias) + bn."""
     bn_p, bn_s = _bn(sd, f"{p}.bn")
@@ -101,9 +159,10 @@ def _dwconvbn_out(sd, p):
 CRPE_WINDOWS = (3, 5, 7)
 
 
-def _mhsa_stage(sd, p, num_layers, sup):
-    """MHSA_stage_adapt (``mdvit.py:415-469``): shared cpe/crpe +
-    ``mhca_blks`` serial blocks."""
+def _mhsa_stage(sd, p, num_layers, sup, dsn=False, num_domains=4):
+    """MHSA_stage_adapt (``mdvit.py:415-469``) / MHSA_stage_adapt_M
+    (``:443-471``): shared cpe/crpe + ``mhca_blks`` serial blocks; the _M
+    blocks hold per-domain ``norm1s/norm2s`` ModuleLists (``:377,392``)."""
     params = {"cpe": {"proj": _conv(sd, f"{p}.cpe.proj")}, "crpe": {}}
     for i, win in enumerate(CRPE_WINDOWS):
         w = sd[f"{p}.crpe.conv_list.{i}.weight"]  # (c_split, 1, k, k)
@@ -120,9 +179,15 @@ def _mhsa_stage(sd, p, num_layers, sup):
                 sd, f"{bp}.factoratt_crpe.domain_layer.0")
             att["domain_layer_fc2"] = _dense(
                 sd, f"{bp}.factoratt_crpe.domain_layer.2")
+        if dsn:
+            norm1 = _ln_m(sd, f"{bp}.norm1s", num_domains)
+            norm2 = _ln_m(sd, f"{bp}.norm2s", num_domains)
+        else:
+            norm1 = _ln(sd, f"{bp}.norm1")
+            norm2 = _ln(sd, f"{bp}.norm2")
         params[f"block{j}"] = {
-            "norm1": _ln(sd, f"{bp}.norm1"),
-            "norm2": _ln(sd, f"{bp}.norm2"),
+            "norm1": norm1,
+            "norm2": norm2,
             "factoratt_crpe": att,
             "mlp": {
                 "fc1": _dense(sd, f"{bp}.mlp.fc1"),
@@ -166,33 +231,60 @@ def torch_mdvit_to_flax(
     num_layers=(2, 2, 2, 2),
     sup: bool = True,
     num_domains: int = 4,
+    dsn: bool = False,
 ) -> dict:
     """Reference MDViT state_dict (numpy values) → ``{'params', 'batch_stats'}``
-    flax variables for ``mdvit_tpu.models.mdvit.MDViT``."""
+    flax variables for ``mdvit_tpu.models.mdvit.MDViT``.
+
+    ``dsn=True`` converts the MDViT_DSN tree (``mdvit.py:735-960``): stems
+    become ``stem_1/stem_2`` Conv2d_BN_M, every ModuleList of per-domain
+    norms stacks into one (D, C) leaf pair, and the bridge norms live at
+    ``bridge_norms{1,2}``. Conv geometries are unchanged vs the non-DSN
+    tree (Decoders.py's DWConv2d_BN_M keeps the 2-ch-grouped decoder
+    conv_after)."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    d = num_domains
     core_p, core_s = {}, {}
 
     for i, name in enumerate(["stem1", "stem2"]):
-        pp, ss = _convbn(sd, f"stem.{i}")
+        if dsn:
+            pp, ss = _convbn_m(sd, f"stem_{i + 1}", d)
+        else:
+            pp, ss = _convbn(sd, f"stem.{i}")
         core_p[name], core_s[name] = pp, ss
 
     for i in range(4):
-        pp, ss = _dwconvbn_in(sd, f"patch_embed_stages.{i}.patch_conv")
+        pe = f"patch_embed_stages.{i}.patch_conv"
+        pp, ss = (_dwconvbn_m(sd, pe, d) if dsn else _dwconvbn_in(sd, pe))
         core_p[f"patch_embed{i}"], core_s[f"patch_embed{i}"] = pp, ss
         core_p[f"mhsa_stage{i}"] = _mhsa_stage(
-            sd, f"mhsa_stages.{i}", num_layers[i], sup)
+            sd, f"mhsa_stages.{i}", num_layers[i], sup, dsn, d)
 
-    core_p["bridge_conv1"] = _conv(sd, "bridge.0")
-    core_p["bridge_bn1"], core_s["bridge_bn1"] = _bn(sd, "bridge.1")
-    core_p["bridge_conv2"] = _conv(sd, "bridge.3")
-    core_p["bridge_bn2"], core_s["bridge_bn2"] = _bn(sd, "bridge.4")
+    if dsn:
+        core_p["bridge_conv1"] = _conv(sd, "bridge_conv1")
+        core_p["bridge_bn1"], core_s["bridge_bn1"] = _bn_m(
+            sd, "bridge_norms1", d)
+        core_p["bridge_conv2"] = _conv(sd, "bridge_conv2")
+        core_p["bridge_bn2"], core_s["bridge_bn2"] = _bn_m(
+            sd, "bridge_norms2", d)
+    else:
+        core_p["bridge_conv1"] = _conv(sd, "bridge.0")
+        core_p["bridge_bn1"], core_s["bridge_bn1"] = _bn(sd, "bridge.1")
+        core_p["bridge_conv2"] = _conv(sd, "bridge.3")
+        core_p["bridge_bn2"], core_s["bridge_bn2"] = _bn(sd, "bridge.4")
 
     for n in range(1, 5):
-        dp, ds = _decoder(sd, f"decoder{n}")
+        if dsn:
+            ca_p, ca_s = _dwconvbn_out_m(sd, f"decoder{n}.conv_after", d)
+            dp = {"conv_before": _conv(sd, f"decoder{n}.conv_before"),
+                  "conv_after": ca_p}
+            ds = {"conv_after": ca_s}
+        else:
+            dp, ds = _decoder(sd, f"decoder{n}")
         core_p[f"decoder{n}"], core_s[f"decoder{n}"] = dp, ds
         # decoder{1..4} wrap encoder stages {3..0}'s mhsa config
         core_p[f"decoder{n}_mhsa"] = _mhsa_stage(
-            sd, f"decoder{n}.mhsa_block", num_layers[4 - n], sup)
+            sd, f"decoder{n}.mhsa_block", num_layers[4 - n], sup, dsn, d)
 
     params = {
         "core": core_p,
@@ -243,15 +335,18 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--img_size", type=int, default=256)
     ap.add_argument("--num_domains", type=int, default=4)
+    ap.add_argument("--dsn", action="store_true",
+                    help="checkpoint is an MDViT_DSN tree (per-domain norms)")
     args = ap.parse_args()
 
     sd = torch.load(args.torch_ckpt, map_location="cpu")
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     sd = {k.removeprefix("module."): v.numpy() for k, v in sd.items()}
-    converted = torch_mdvit_to_flax(sd, num_domains=args.num_domains)
+    converted = torch_mdvit_to_flax(sd, num_domains=args.num_domains,
+                                    dsn=args.dsn)
 
-    model = MDViT(img_size=args.img_size, adapt="Sup",
+    model = MDViT(img_size=args.img_size, adapt="Sup", dsn=args.dsn,
                   num_domains=args.num_domains)
     x = jnp.zeros((args.num_domains, args.img_size, args.img_size, 3))
     oh = jnp.eye(args.num_domains, dtype=jnp.float32)

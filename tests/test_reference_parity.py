@@ -200,6 +200,96 @@ def test_full_mdvit_forward_and_losses_match_reference(ref_and_ours, rng):
         np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-5)
 
 
+@pytest.fixture(scope="module")
+def ref_and_ours_dsn():
+    """Same harness for the DSN tree (``mdvit.py:735-960``): per-domain
+    norms through stems/patch-embeds/blocks/bridge/decoders, and the
+    DWConv2d_BN_M decoder conv_after geometry (``Decoders.py:121-151``)."""
+    _install_shims()
+    from Models.Transformer.mdvit import MDViT_DSN as RefDSN  # noqa: E402
+
+    import jax
+    import jax.numpy as jnp
+
+    from mdvit_tpu.models.mdvit import MDViT
+    from scripts.convert_reference_mdvit import (
+        check_structure,
+        torch_mdvit_to_flax,
+    )
+
+    torch.manual_seed(1)
+    ref = RefDSN(img_size=IMG, adapt_method="Sup", num_domains=D,
+                 decoder_name="MLPFM", drop_rate=0.0, drop_path_rate=0.0,
+                 embed_dims=list(DIMS), num_layers=list(LAYERS),
+                 mlp_ratios=list(RATIOS))
+    ref.eval()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0.0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+        # per-domain affines must differ per domain for the test to catch
+        # mis-stacked (D, C) leaves
+        for name, m in ref.named_modules():
+            if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.LayerNorm)):
+                m.weight.add_(0.05 * torch.randn_like(m.weight))
+                m.bias.add_(0.05 * torch.randn_like(m.bias))
+    ref = ref.double()
+
+    sd = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()
+          if "num_batches_tracked" not in k}
+    converted = torch_mdvit_to_flax(sd, num_layers=LAYERS, num_domains=D,
+                                    dsn=True)
+
+    model = MDViT(img_size=IMG, adapt="Sup", dsn=True, num_domains=D,
+                  embed_dims=DIMS, num_layers=LAYERS, mlp_ratios=RATIOS)
+    x0 = jnp.zeros((D * B_PER, IMG, IMG, 3))
+    oh0 = jnp.repeat(jnp.eye(D, dtype=jnp.float32), B_PER, 0)
+    like = jax.jit(
+        lambda k: model.init({"params": k, "dropout": k}, x0, oh0,
+                             train=False, aux_mode="grouped")
+    )(jax.random.PRNGKey(0))
+    check_structure(converted, like)
+    variables = jax.tree_util.tree_map(
+        lambda c: jnp.asarray(np.asarray(c, np.float32)), converted
+    )
+    return ref, model, variables
+
+
+@pytest.mark.slow
+def test_full_mdvit_dsn_forward_matches_reference(ref_and_ours_dsn, rng):
+    import jax
+    import jax.numpy as jnp
+
+    ref, model, variables = ref_and_ours_dsn
+    x = rng.randn(D * B_PER, IMG, IMG, 3).astype(np.float32)
+    onehot = np.repeat(np.eye(D, dtype=np.float32), B_PER, 0)
+
+    ref_out = np.empty((D * B_PER, 1, IMG, IMG))
+    ref_aux = np.empty((D * B_PER, 1, IMG, IMG))
+    with torch.no_grad():
+        for d in range(D):
+            sl = slice(d * B_PER, (d + 1) * B_PER)
+            xt = torch.from_numpy(x[sl]).permute(0, 3, 1, 2).double()
+            dl = torch.from_numpy(onehot[sl]).double()
+            out, aux = ref(xt, dl, str(d))
+            ref_out[sl] = out.numpy()
+            ref_aux[sl] = aux.numpy()
+    ref_out = np.transpose(ref_out, (0, 2, 3, 1))
+    ref_aux = np.transpose(ref_aux, (0, 2, 3, 1))
+
+    out = jax.jit(
+        lambda v: model.apply(v, jnp.asarray(x), jnp.asarray(onehot),
+                              train=False, aux_mode="select")
+    )(variables)
+    np.testing.assert_allclose(
+        np.asarray(out["seg"][0], np.float64), ref_out,
+        rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["seg"][1], np.float64), ref_aux,
+        rtol=1e-3, atol=2e-3)
+
+
 @pytest.mark.slow
 def test_grouped_equals_select_on_converted_weights(ref_and_ours, rng):
     """aux_mode='grouped' (training layout) must equal aux_mode='select'
