@@ -25,6 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_BASELINE_IMG_PER_SEC = 300.0
+# attainable single-chip ceiling: the fusion-boundary HBM floor of the train
+# step at 819 GB/s peak (scripts/hbm_floor.py, results/hbm_floor.json;
+# README §"The analytic HBM floor and the throughput ceiling")
+ANALYTIC_FLOOR_IMG_PER_SEC = 432.7
 BATCH_PER_DOMAIN = 4
 NUM_DOMAINS = 4
 IMG = 256
@@ -140,6 +144,11 @@ def main():
         "a100_estimate": A100_BASELINE_IMG_PER_SEC,
         "vs_target_5x": round(
             imgs_per_sec / (5.0 * A100_BASELINE_IMG_PER_SEC), 3),
+        # fraction of the attainable single-chip ceiling (the analytic
+        # fusion-boundary HBM floor at peak bandwidth)
+        "analytic_floor_img_per_sec": ANALYTIC_FLOOR_IMG_PER_SEC,
+        "pct_of_floor": round(
+            100.0 * imgs_per_sec / ANALYTIC_FLOOR_IMG_PER_SEC, 1),
     }
     step_s = dt / ITERS
     if flops:

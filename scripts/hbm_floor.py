@@ -21,13 +21,24 @@ the train step's OWN jaxpr — no XLA schedule involved:
   param-sized fp32 reads/writes of p/m/v cannot fuse into the backward
   matmuls that produce scattered grad leaves): read g+p+m+v, write p+m+v.
 
-Two totals are reported:
+Three totals are reported:
 
-* ``floor_per_consumer``: a tensor consumed by k materializing ops is read
-  k times (what distinct kernels must do — the realistic floor);
 * ``floor_unique``: every distinct tensor is written once and read at most
   once no matter how many consumers (the unattainable ideal — e.g. one
-  fused kernel computing Q,K,V reading x once).
+  fused kernel computing Q,K,V reading x once);
+* ``floor_per_consumer``: a tensor consumed by k materializing ops is read
+  k times (what distinct kernels must do), elementwise still free;
+* ``floor_fusion_boundary``: the *attainable* floor — simulates XLA:TPU's
+  actual fusion constraint. Matmul/conv/gather lower to custom-calls that
+  cannot host arbitrary elementwise prologues/epilogues, so the jaxpr is
+  partitioned into kernels (each materializing op alone; maximal connected
+  components of everything else fuse perfectly), and each kernel pays HBM
+  reads for inputs produced outside it and writes for outputs consumed
+  outside it. This charges exactly the traffic the device profile observes
+  as "elementwise/reduce fusions" and "layout copies" — the bridge
+  materializations between custom-calls — while still assuming XLA fuses
+  every chain maximally (it empirically does: every hand-fusion attempt
+  lost, README rejected list).
 
 Usage (CPU is fine — tracing only, no compile):
     env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python scripts/hbm_floor.py
@@ -205,6 +216,140 @@ def analyze(jaxpr, param_tagged: set):
     return stats
 
 
+def flatten_jaxpr(jaxpr):
+    """Inline call-like sub-jaxprs (pjit/custom_vjp/remat) into one flat
+    equation list with globally-renamed vars.
+
+    Returns ``(eqns, avals)`` where each eqn is ``(prim_name, in_ids,
+    out_ids)`` over global integer var ids and ``avals[id]`` is the var's
+    aval. Sub-jaxprs whose invars don't correspond 1:1 to the call's
+    operands (scan carries, cond branches — only scalar schedule math here)
+    are kept opaque as a single fusible node.
+    """
+    eqns = []
+    avals = {}
+    counter = [0]
+
+    def fresh(aval):
+        counter[0] += 1
+        avals[counter[0]] = aval
+        return counter[0]
+
+    def walk(jx, env):
+        # env: maps id(var-in-this-scope) -> global id
+        def gid(v):
+            if isinstance(v, jax.extend.core.Literal):
+                return None
+            if id(v) not in env:
+                env[id(v)] = fresh(v.aval)
+            return env[id(v)]
+
+        for eqn in jx.eqns:
+            subs = _sub_jaxprs(eqn)
+            if (len(subs) == 1
+                    and len(subs[0].invars) == len(eqn.invars)
+                    and len(subs[0].outvars) == len(eqn.outvars)):
+                sub = subs[0]
+                inner = {}
+                for iv, ov in zip(sub.invars, eqn.invars):
+                    g = gid(ov)
+                    if g is not None:
+                        inner[id(iv)] = g
+                for cv in sub.constvars:
+                    inner[id(cv)] = fresh(cv.aval)
+                walk(sub, inner)
+                for sov, ov in zip(sub.outvars, eqn.outvars):
+                    if isinstance(sov, jax.extend.core.Literal):
+                        env[id(ov)] = fresh(ov.aval)
+                    else:
+                        env[id(ov)] = inner.get(id(sov)) or fresh(ov.aval)
+                continue
+            in_ids = [gid(v) for v in eqn.invars]
+            out_ids = [gid(v) for v in eqn.outvars]
+            eqns.append((eqn.primitive.name,
+                         [i for i in in_ids if i is not None],
+                         [o for o in out_ids if o is not None]))
+
+    top_env = {}
+    for iv in list(jaxpr.invars) + list(jaxpr.constvars):
+        top_env[id(iv)] = fresh(iv.aval)
+    walk(jaxpr, top_env)
+    out_ids = {top_env.get(id(v)) for v in jaxpr.outvars
+               if not isinstance(v, jax.extend.core.Literal)}
+    in_ids = {top_env[id(v)] for v in jaxpr.invars}
+    return eqns, avals, in_ids, out_ids
+
+
+def fusion_floor(jaxpr):
+    """Partition the flat graph into kernels (materializing ops alone;
+    connected non-materializing components fused) and tally each kernel's
+    cross-boundary HBM reads/writes."""
+    eqns, avals, top_in, top_out = flatten_jaxpr(jaxpr)
+
+    # union-find over eqn indices
+    parent = list(range(len(eqns)))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    producer = {}
+    for i, (_, _, outs) in enumerate(eqns):
+        for o in outs:
+            producer[o] = i
+    for i, (prim, ins, _) in enumerate(eqns):
+        if prim in MATERIALIZING:
+            continue
+        for v in ins:
+            j = producer.get(v)
+            if j is not None and eqns[j][0] not in MATERIALIZING:
+                union(i, j)
+
+    # consumers per var (by kernel root)
+    consumers = {}
+    for i, (_, ins, _) in enumerate(eqns):
+        for v in ins:
+            consumers.setdefault(v, set()).add(find(i))
+
+    def nb(v):
+        return _nbytes(avals[v])
+
+    # per-kernel cross-boundary input/output sets (a var read by several
+    # eqns of one fused kernel is one HBM read; read by k kernels is k)
+    kernel_in = {}
+    kernel_out = {}
+    gather_bytes = 0
+    for i, (prim, ins, outs) in enumerate(eqns):
+        root = find(i)
+        if prim == "gather":
+            # read only the gathered elements + indices, not the store
+            gather_bytes += sum(nb(o) for o in outs)
+            gather_bytes += nb(ins[1]) if len(ins) > 1 else 0
+        else:
+            for v in ins:
+                j = producer.get(v)
+                if j is not None and find(j) == root:
+                    continue  # produced inside this kernel — stays in VMEM
+                kernel_in.setdefault(root, set()).add(v)
+        for o in outs:
+            if (consumers.get(o, set()) - {root}) or o in top_out:
+                kernel_out.setdefault(root, set()).add(o)
+
+    read = gather_bytes + sum(
+        nb(v) for vs in kernel_in.values() for v in vs)
+    written = sum(nb(o) for os_ in kernel_out.values() for o in os_)
+    return {"fusion_read": read, "fusion_written": written,
+            "n_eqns": len(eqns),
+            "n_kernels": len({find(i) for i in range(len(eqns))})}
+
+
 def main():
     step, state, images, masks, idx = build_step_and_args()
     print("tracing the production train step ...", file=sys.stderr)
@@ -239,6 +384,11 @@ def main():
     total_unique = (stats["unique_read"] + stats["unique_written"]
                     + opt_bytes)
 
+    print("partitioning into fusion kernels ...", file=sys.stderr)
+    fstats = fusion_floor(jaxpr)
+    # optimizer eqns are in the jaxpr, so the fusion tier counts them itself
+    total_fusion = fstats["fusion_read"] + fstats["fusion_written"]
+
     def per_img(b):
         return b / n_img / 1e9
 
@@ -260,16 +410,23 @@ def main():
         },
         "floor_per_consumer_gb_per_img": round(per_img(total_per_consumer), 3),
         "floor_unique_gb_per_img": round(per_img(total_unique), 3),
+        "floor_fusion_boundary_gb_per_img": round(per_img(total_fusion), 3),
+        "fusion_kernels": fstats["n_kernels"],
+        "fusion_eqns": fstats["n_eqns"],
         "floor_step_ms_at_peak_hbm": {
             "per_consumer": round(
                 total_per_consumer / (PEAK_HBM_GBPS * 1e9) * 1e3, 2),
             "unique": round(total_unique / (PEAK_HBM_GBPS * 1e9) * 1e3, 2),
+            "fusion_boundary": round(
+                total_fusion / (PEAK_HBM_GBPS * 1e9) * 1e3, 2),
         },
         "floor_img_per_sec_at_peak_hbm": {
             "per_consumer": round(
                 n_img / (total_per_consumer / (PEAK_HBM_GBPS * 1e9)), 1),
             "unique": round(
                 n_img / (total_unique / (PEAK_HBM_GBPS * 1e9)), 1),
+            "fusion_boundary": round(
+                n_img / (total_fusion / (PEAK_HBM_GBPS * 1e9)), 1),
         },
     }
     print(json.dumps(out, indent=2))
