@@ -52,6 +52,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+import jax.extend  # jax.extend.core is not loaded by `import jax` alone
 import jax.numpy as jnp
 import numpy as np
 
