@@ -78,6 +78,8 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "mesh": {"data": -1},  # -1: all visible devices on the data axis
         "compute_dtype": "bfloat16",  # 'bfloat16' | 'float32' — bf16 activations / fp32 params+norms track fp32 convergence epoch-for-epoch (Dice deltas < 0.002 over 6-epoch runs)
         "device_augment": True,  # run augmentations inside the jitted step
+        "device_eval": True,  # eval splits HBM-resident; evaluate() sends
+        # only int32 index rows (False: stream fp32 batches from host)
         "donate": True,
         "remat": False,  # jax.checkpoint the forward: recompute activations
         # in the backward (memory for FLOPs; see train/steps.py)

@@ -91,6 +91,47 @@ def gather_batch(
     return imgs, masks, onehot
 
 
+class EvalSplitStore:
+    """Device-resident eval split: ALL domains of one split concatenated into
+    a single uint8 (N, S, S, 3) images / (N, S, S) masks pair uploaded to HBM
+    once, plus per-domain offsets. ``evaluate()`` then transfers only tiny
+    int32 index rows per batch — the eval loop becomes zero-image-H2D like
+    the train loop (gather + uint8→f32 happen inside the jitted eval step).
+
+    One concatenated array (rather than per-domain arrays) keeps the eval
+    step at ONE compiled shape across domains and splits.
+    """
+
+    def __init__(self, domains: Sequence[DomainArrays], sharding=None):
+        self.names = [d.name for d in domains]
+        sizes = [len(d) for d in domains]
+        self.sizes = sizes
+        self.offsets = np.concatenate([[0], np.cumsum(sizes[:-1])]).astype(int)
+        put = (lambda a: jax.device_put(a, sharding)) if sharding else jax.device_put
+        self.images = put(np.concatenate([d.images for d in domains], axis=0))
+        self.masks = put(np.concatenate([d.masks for d in domains], axis=0))
+
+    def domain(self, i: int) -> tuple[int, int]:
+        return int(self.offsets[i]), int(self.sizes[i])
+
+
+def eval_index_batches(offset: int, n: int, batch_size: int,
+                       pad_to: int | None = None):
+    """Yield ``(indices, valid)`` for one domain of an :class:`EvalSplitStore`
+    — the index-only twin of :func:`eval_batches`. ``indices`` is a static
+    (pad_to,) int32 array of absolute store rows; the ragged tail is padded
+    by repeating the domain's first row (the eval step masks every reduction
+    by ``valid``, so padding CONTENT is irrelevant — pinned equal to the
+    zero-padded streaming path by tests/test_trainer_dp.py)."""
+    pad_to = batch_size if pad_to is None else max(pad_to, batch_size)
+    for start in range(0, n, batch_size):
+        stop = min(start + batch_size, n)
+        valid = stop - start
+        idx = np.full((pad_to,), offset, np.int32)
+        idx[:valid] = np.arange(offset + start, offset + stop, dtype=np.int32)
+        yield idx, valid
+
+
 def eval_batches(domain: DomainArrays, batch_size: int, pad_to: int | None = None):
     """Yield padded eval batches (images, masks, valid_count). Pads the ragged
     tail to keep shapes static for jit; metrics must mask by valid_count.

@@ -250,10 +250,18 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, mkd: bool = True, data_sharding=None) -> Callable:
+def make_eval_step(model, mkd: bool = True, data_sharding=None,
+                   from_store: bool = False) -> Callable:
     """Jitted eval step returning masked overlap counts + loss sums so the
     host can reproduce the reference's batch-weighted averages exactly
     (``multi_train_MDViT.py:273-291``), padding-safe.
+
+    ``from_store=True`` is the production path: ``images``/``masks`` are the
+    uint8 HBM-resident :class:`~mdvit_tpu.data.loader.EvalSplitStore` arrays
+    and ``indices`` selects the batch — the gather and uint8→f32 cast run
+    inside jit, so eval (like training) transfers no image bytes from host.
+    uint8→f32 is exact, and every reduction below is masked by ``valid``, so
+    the two modes return identical results (pinned by tests).
 
     MKD aux dispatch mirrors the reference's val loop: each batch is
     single-domain and routed to exactly ONE debranch (``mdvit.py:714-724``)
@@ -265,7 +273,10 @@ def make_eval_step(model, mkd: bool = True, data_sharding=None) -> Callable:
         model, "debranch_module") else None
 
     def step(params, batch_stats, images, masks, onehot, valid,
-             aux_vars=None):
+             aux_vars=None, indices=None):
+        if from_store:
+            images = images[indices].astype(jnp.float32)
+            masks = masks[indices].astype(jnp.float32)
         x, y = eval_transform(images, masks)
         # DP eval: shard the (padded, evenly divisible) batch over the
         # mesh; the masked count/loss sums become psums automatically

@@ -22,7 +22,13 @@ import pandas as pd
 
 from mdvit_tpu.config import save_config
 from mdvit_tpu.data.datasets import build_domain_data
-from mdvit_tpu.data.loader import DeviceDomainStore, RoundRobinSampler, eval_batches
+from mdvit_tpu.data.loader import (
+    DeviceDomainStore,
+    EvalSplitStore,
+    RoundRobinSampler,
+    eval_batches,
+    eval_index_batches,
+)
 from mdvit_tpu.models.registry import get_model
 from mdvit_tpu.train import checkpoints as ckpt
 from mdvit_tpu.train.optim import build_optimizer
@@ -215,8 +221,16 @@ class Trainer:
             data_sharding=self.data_sharding,
             remat=bool(config.tpu.get("remat", False)),
         )
+        # device-resident eval (default): eval splits upload once as uint8
+        # and evaluate() transfers only int32 index rows — the eval loop is
+        # zero-image-H2D like the train loop. tpu.device_eval=False restores
+        # host streaming (HBM-tight setups); both modes are metric-identical
+        # (tests/test_trainer_dp.py).
+        self.device_eval = bool(config.tpu.get("device_eval", True))
+        self._eval_stores: dict[str, EvalSplitStore] = {}
         self.eval_step = make_eval_step(self.model, mkd=self.mkd,
-                                        data_sharding=self.data_sharding)
+                                        data_sharding=self.data_sharding,
+                                        from_store=self.device_eval)
         self.max_iou = 0.0
         self.best_epoch = 0
         self.start_epoch = 0
@@ -233,6 +247,19 @@ class Trainer:
         return jax.tree_util.tree_map(
             lambda a: jax.device_put(a, sh) if isinstance(a, jax.Array)
             else a, tree)
+
+    # ------------------------------------------------------------------
+    def _eval_store(self, split: str) -> EvalSplitStore:
+        """Upload one eval split to HBM on first use (replicated over the DP
+        mesh when one exists), cached for the run's remaining epochs."""
+        if split not in self._eval_stores:
+            from mdvit_tpu.parallel.mesh import replicated
+            self._eval_stores[split] = EvalSplitStore(
+                [self.data[n][split] for n in self.names],
+                sharding=replicated(self.mesh) if self.mesh is not None
+                else None,
+            )
+        return self._eval_stores[split]
 
     # ------------------------------------------------------------------
     def maybe_resume(self):
@@ -416,12 +443,25 @@ class Trainer:
             # (a per-batch device_get costs a tunnel round-trip each — at
             # ~200 eval batches/epoch that would dwarf the train step)
             pending = []
-            for imgs, msks, valid in eval_batches(dom, eval_bs, pad_to=pad_to):
+            if self.device_eval:
+                # index-only H2D: gather + uint8→f32 run inside the jitted
+                # step against the HBM-resident split store
+                store = self._eval_store(split)
+                off, n_dom = store.domain(di)
+                batches = (
+                    (store.images, store.masks, jnp.asarray(idx), valid)
+                    for idx, valid in eval_index_batches(
+                        off, n_dom, eval_bs, pad_to=pad_to))
+            else:
+                batches = (
+                    (jnp.asarray(imgs), jnp.asarray(msks), None, valid)
+                    for imgs, msks, valid in eval_batches(
+                        dom, eval_bs, pad_to=pad_to))
+            for imgs, msks, idx, valid in batches:
                 out = self.eval_step(
                     self.state.params, self.state.batch_stats,
-                    jnp.asarray(imgs), jnp.asarray(msks),
-                    onehot, jnp.asarray(valid, jnp.int32),
-                    aux_vars=aux_vars,
+                    imgs, msks, onehot, jnp.asarray(valid, jnp.int32),
+                    aux_vars=aux_vars, indices=idx,
                 )
                 pending.append((out, valid))
                 if self.config.debug:

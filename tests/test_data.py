@@ -113,6 +113,36 @@ def test_eval_batches_padding():
     assert batches[1][0].shape == (5, 16, 16, 3)
 
 
+def test_eval_index_batches_mirror_eval_batches():
+    """The index-only generator must walk the split exactly like
+    eval_batches: same batch count, same valid counts, indices covering the
+    domain's absolute store rows in order, tail padded to a static shape
+    with an in-range row."""
+    from mdvit_tpu.data.loader import eval_index_batches
+
+    batches = list(eval_index_batches(offset=10, n=7, batch_size=5, pad_to=8))
+    assert [v for _, v in batches] == [5, 2]
+    idx0, idx1 = batches[0][0], batches[1][0]
+    assert idx0.shape == (8,) and idx0.dtype == np.int32
+    np.testing.assert_array_equal(idx0[:5], np.arange(10, 15))
+    np.testing.assert_array_equal(idx1[:2], np.arange(15, 17))
+    # padding rows repeat the domain's first row — always in range
+    np.testing.assert_array_equal(idx0[5:], 10)
+    np.testing.assert_array_equal(idx1[2:], 10)
+
+
+def test_eval_split_store_concat_offsets():
+    from mdvit_tpu.data.loader import EvalSplitStore
+
+    doms = [synthetic_domain_arrays(n, 16, 4, k)["test"]
+            for n, k in (("PH2", 3), ("SKD", 7))]
+    store = EvalSplitStore(doms)
+    assert store.images.shape == (10, 16, 16, 3)
+    assert store.masks.shape == (10, 16, 16)
+    assert store.domain(0) == (0, 3) and store.domain(1) == (3, 7)
+    np.testing.assert_array_equal(np.asarray(store.images[3:]), doms[1].images)
+
+
 # ---------------- augmentation ----------------
 
 def test_normalize_matches_reference(rng):

@@ -113,3 +113,39 @@ def test_evaluate_metric_protocol_mesh_invariant(tmp_path):
             np.testing.assert_allclose(
                 res1[n][key], res8[n][key], rtol=1e-5, atol=1e-6,
                 err_msg=f"{n}/{key} differs between 1-device and mesh eval")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device CPU mesh")
+def test_device_eval_matches_streaming(tmp_path):
+    """The device-resident eval path (HBM uint8 split store + index-only
+    H2D, ``tpu.device_eval=True``, the default) must report exactly what the
+    host-streaming path reports: the inside-jit gather pads the ragged tail
+    with a REAL row (index ``offset``) instead of zeros, which is metric-
+    irrelevant because the eval step masks every reduction by ``valid``.
+    Covers full batches AND a padded tail (test split 7, batch 5)."""
+    sizes = {"isic2018": [6, 7], "PH2": [6, 7], "DMF": [6, 7], "SKD": [6, 7]}
+
+    def cfg(device_eval):
+        return load_config(overrides={
+            "data": {"img_size": 16, "synthetic": True,
+                     "synthetic_sizes": sizes},
+            "train": {"num_epochs": 1, "batch_size": 2},
+            "test": {"batch_size": 5},
+            "model_kwargs": TINY_MODEL,
+            "tpu": {"compute_dtype": "float32", "mesh": {"data": 1},
+                    "device_eval": device_eval},
+        })
+
+    tr_dev = Trainer(cfg(True), str(tmp_path / "exp_dev"))
+    tr_str = Trainer(cfg(False), str(tmp_path / "exp_str"))
+    assert tr_dev.device_eval and not tr_str.device_eval
+    res_dev = tr_dev.evaluate("test")
+    res_str = tr_str.evaluate("test")
+    # the split store was built lazily, once, and covers all domains
+    store = tr_dev._eval_stores["test"]
+    assert store.images.dtype == np.uint8 and store.images.shape[0] == 4 * 7
+    for n in tr_dev.names:
+        for key in ("loss", "dice", "iou", "aux_dice", "aux_iou"):
+            np.testing.assert_allclose(
+                res_dev[n][key], res_str[n][key], rtol=1e-6, atol=1e-7,
+                err_msg=f"{n}/{key}: device-resident eval != streaming eval")
