@@ -97,26 +97,51 @@ def bench_one(name: str, iters: int, warmup: int) -> dict:
             (np.arange(NUM_DOMAINS * b, dtype=np.int32) * (i + 1)) % n_store
         ).reshape(NUM_DOMAINS, b)
 
+    # AOT-compile (like bench.py) so the XLA cost model's flops / bytes
+    # accessed can be read off the SAME executable that is timed — this is
+    # what turns a slow number into an *attributed* one (compute-bound vs
+    # bandwidth-bound vs badly lowered)
+    run = step
+    flops = bytes_acc = None
     t_c0 = time.perf_counter()
+    try:
+        compiled = step.lower(state, images, masks, idx(0)).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+        bytes_acc = float(ca.get("bytes accessed", 0.0)) or None
+        run = compiled
+    except Exception:
+        pass  # fall back to the jit dispatch path, no cost analysis
     for i in range(warmup):
-        state, metrics = step(state, images, masks, idx(i))
+        state, metrics = run(state, images, masks, idx(i))
     jax.block_until_ready(state.params)
     compile_s = time.perf_counter() - t_c0
 
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = step(state, images, masks, idx(i))
+        state, metrics = run(state, images, masks, idx(i))
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
-    return {
+    step_s = dt / iters
+    out = {
         "model": name,
         "img_per_sec": round(NUM_DOMAINS * b * iters / dt, 1),
-        "step_ms": round(dt / iters * 1e3, 2),
+        "step_ms": round(step_s * 1e3, 2),
         "params_M": round(n_params / 1e6, 2),
         "compile_s": round(compile_s, 1),
         "mkd": mkd,
     }
+    if flops:
+        # v5e: 197 TF/s bf16 peak, 819 GB/s HBM
+        out["gflops_step"] = round(flops / 1e9, 1)
+        out["mfu"] = round(flops / step_s / 197e12, 4)
+    if bytes_acc:
+        out["gbytes_step"] = round(bytes_acc / 1e9, 2)
+        out["hbm_util"] = round(bytes_acc / step_s / 819e9, 4)
+    return out
 
 
 def main():
@@ -138,11 +163,23 @@ def main():
         results.append(r)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    # merge by model name so a subset re-run (e.g. enriching two models with
+    # cost analysis) updates rather than clobbers the sweep artifact
+    merged = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            for r in json.load(f).get("results", []):
+                merged[r["model"]] = r
+    for r in results:
+        merged[r["model"]] = r
+    order = [m for m in DEFAULT_MODELS.split(",")]
+    ordered = [merged[m] for m in order if m in merged] + [
+        r for m, r in merged.items() if m not in order]
     with open(args.out, "w") as f:
         json.dump({"config": {"img": IMG, "batch_per_domain": BATCH_PER_DOMAIN,
                               "num_domains": NUM_DOMAINS, "dtype": "bf16",
                               "iters": args.iters},
-                   "results": results}, f, indent=1)
+                   "results": ordered}, f, indent=1)
 
 
 if __name__ == "__main__":
