@@ -96,8 +96,26 @@ def main():
     # can be read off the same executable that is timed
     run = step
     flops = bytes_acc = None
+    # XLA compiler options: the production default matches the Trainer's
+    # tpu.xla_options (24 MiB scoped vmem — measured +2%, see README §floor);
+    # the MDVIT_BENCH_XLA_OPTS="k=v,k=v" knob REPLACES it for experiments
+    # (e.g. xla_tpu_scoped_vmem_limit_kib=65536), and experiment keys fail
+    # LOUDLY instead of silently measuring the default-compiled path
+    opts_env = os.environ.get("MDVIT_BENCH_XLA_OPTS")
+    if opts_env:
+        compiler_options = dict(kv.split("=", 1) for kv in opts_env.split(","))
+    else:
+        compiler_options = dict(config.tpu.get("xla_options") or {})
     try:
-        compiled = step.lower(state, images, masks, idx(0)).compile()
+        lowered = step.lower(state, images, masks, idx(0))
+        try:
+            compiled = lowered.compile(compiler_options=compiler_options or None)
+        except Exception:
+            if opts_env:
+                raise  # experiment run must not silently measure the default
+            # production options not supported here (e.g. non-TPU backend):
+            # fall back to the default compile
+            compiled = lowered.compile()
         try:
             ca = compiled.cost_analysis()
             if isinstance(ca, (list, tuple)):
@@ -108,6 +126,8 @@ def main():
             pass
         run = compiled
     except Exception:
+        if opts_env:
+            raise  # an experiment run must not silently measure the default
         run = step  # fall back to the jit dispatch path
     # first execution happens OUTSIDE the try: the step donates `state`, so
     # falling back to the jit path after a failed *execution* would dispatch

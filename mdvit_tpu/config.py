@@ -83,6 +83,11 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "donate": True,
         "remat": False,  # jax.checkpoint the forward: recompute activations
         # in the backward (memory for FLOPs; see train/steps.py)
+        "xla_options": {  # per-computation XLA overrides for the train step;
+            # applied only on TPU backends (CPU rejects TPU flag names).
+            # 24 MiB scoped vmem: measured +2% (README §floor); 64 MiB: −4%
+            "xla_tpu_scoped_vmem_limit_kib": "24576",
+        },
     },
     "log": {"every_steps": 10, "backend": "csv"},
 }

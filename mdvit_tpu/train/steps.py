@@ -105,6 +105,7 @@ def make_train_step(
     donate: bool = True,
     data_sharding=None,
     remat: bool = False,
+    compiler_options: dict | None = None,
 ) -> Callable:
     """Build the jitted multi-domain train step.
 
@@ -116,6 +117,13 @@ def make_train_step(
     ``jax.checkpoint``: activations are recomputed during the backward
     instead of stored — ~⅓ more FLOPs for a large activation-memory cut
     (useful for bigger images/batches than the reference recipe).
+
+    ``compiler_options`` forwards per-computation XLA overrides to the jit
+    (config ``tpu.xla_options``; the Trainer passes it only on TPU backends
+    — the CPU compiler rejects TPU flag names). Production default:
+    ``xla_tpu_scoped_vmem_limit_kib=24576`` — measured +2% on the reference
+    recipe (369/367/372 vs 358-366 img/s default; 64 MiB is a measured
+    LOSS at 345).
     """
 
     def step(state: TrainState, images, masks, indices):
@@ -247,11 +255,13 @@ def make_train_step(
         )
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   compiler_options=compiler_options)
 
 
 def make_eval_step(model, mkd: bool = True, data_sharding=None,
-                   from_store: bool = False) -> Callable:
+                   from_store: bool = False,
+                   compiler_options: dict | None = None) -> Callable:
     """Jitted eval step returning masked overlap counts + loss sums so the
     host can reproduce the reference's batch-weighted averages exactly
     (``multi_train_MDViT.py:273-291``), padding-safe.
@@ -347,7 +357,7 @@ def make_eval_step(model, mkd: bool = True, data_sharding=None,
             res["aux"] = masked_counts(aux_logits)
         return res
 
-    return jax.jit(step)
+    return jax.jit(step, compiler_options=compiler_options)
 
 
 def counts_to_metrics(c: dict) -> tuple[float, float]:

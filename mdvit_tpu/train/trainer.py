@@ -208,6 +208,12 @@ class Trainer:
                 "data.train_aug=True requires tpu.device_augment=True "
                 "(augmentations run inside the jitted step; set "
                 "data.train_aug=False to intentionally train unaugmented)")
+        # per-computation XLA overrides (tpu.xla_options) reach the jit only
+        # on TPU backends: the flag names are TPU-specific and the CPU
+        # compiler rejects unknown options loudly
+        xla_options = dict(config.tpu.get("xla_options") or {}) or None
+        if jax.default_backend() == "cpu":
+            xla_options = None
         self.train_step = make_train_step(
             self.model,
             self.tx,
@@ -220,6 +226,7 @@ class Trainer:
             donate=bool(config.tpu.get("donate", True)),
             data_sharding=self.data_sharding,
             remat=bool(config.tpu.get("remat", False)),
+            compiler_options=xla_options,
         )
         # device-resident eval (default): eval splits upload once as uint8
         # and evaluate() transfers only int32 index rows — the eval loop is
@@ -230,7 +237,8 @@ class Trainer:
         self._eval_stores: dict[str, EvalSplitStore] = {}
         self.eval_step = make_eval_step(self.model, mkd=self.mkd,
                                         data_sharding=self.data_sharding,
-                                        from_store=self.device_eval)
+                                        from_store=self.device_eval,
+                                        compiler_options=xla_options)
         self.max_iou = 0.0
         self.best_epoch = 0
         self.start_epoch = 0
