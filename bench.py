@@ -137,11 +137,18 @@ def main():
         state, metrics = run(state, images, masks, idx(i))
     jax.block_until_ready(state.params)
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, metrics = run(state, images, masks, idx(i))
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
+    # the tunnel very occasionally returns from block_until_ready without
+    # having executed (observed: a "2853 img/s, MFU 1.33" reading — >2× the
+    # analytic unique-read floor, physically impossible); retry the timed
+    # loop rather than record a glitch
+    for attempt in range(3):
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            state, metrics = run(state, images, masks, idx(i))
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        if NUM_DOMAINS * b * ITERS / dt < 800.0:  # sane: proven floor is 433
+            break
 
     # optional device-profile capture of 10 extra steps (does not perturb
     # the timed loop above); roll up with scripts/parse_xplane.py
@@ -170,6 +177,10 @@ def main():
         "pct_of_floor": round(
             100.0 * imgs_per_sec / ANALYTIC_FLOOR_IMG_PER_SEC, 1),
     }
+    if imgs_per_sec >= 800.0:
+        # all retries impossible — mark the artifact untrustworthy rather
+        # than let a tunnel glitch masquerade as a speedup
+        out["suspect_tunnel_glitch"] = True
     step_s = dt / ITERS
     if flops:
         # model-flops utilization vs the v5e bf16 peak (XLA-counted flops

@@ -67,7 +67,19 @@ def main():
     variables = jax.jit(_init)(jax.random.PRNGKey(0))
     variables = {"params": variables["params"],
                  "batch_stats": variables.get("batch_stats", {})}
-    forward = jax.jit(make_forward(model, mkd))
+    # production default = config tpu.xla_options (what predict.py serves
+    # with; +5.5% at batch 16); the MDVIT_BENCH_XLA_OPTS="k=v,..." knob
+    # REPLACES it for experiments (e.g. probing whether a scoped-vmem
+    # setting changes the B=64 CRPE schedule pathology — it doesn't)
+    from mdvit_tpu.config import load_config
+    opts_env = os.environ.get("MDVIT_BENCH_XLA_OPTS")
+    if opts_env:
+        copts = dict(kv.split("=", 1) for kv in opts_env.split(","))
+    else:
+        copts = dict(load_config().tpu.get("xla_options") or {}) or None
+        if jax.default_backend() == "cpu":
+            copts = None
+    forward = jax.jit(make_forward(model, mkd), compiler_options=copts)
 
     rng = np.random.RandomState(0)
     for b in [int(s) for s in args.batches.split(",") if s]:

@@ -191,7 +191,13 @@ def main():
     onehot = jnp.zeros((bs, num_domains), jnp.float32).at[:, args.domain].set(
         1.0)
     variables = load_variables(args.ckpt_dir, config, model, mkd, bs)
-    forward = jax.jit(make_forward(model, mkd))
+    # production XLA overrides (tpu.xla_options): measured +5.5% at the
+    # batch-16 serving micro-batch (2589-2594 vs 2430-2477 img/s on v5e);
+    # suppressed on CPU backends, which reject TPU flag names
+    copts = dict(config.tpu.get("xla_options") or {}) or None
+    if jax.default_backend() == "cpu":
+        copts = None
+    forward = jax.jit(make_forward(model, mkd), compiler_options=copts)
 
     n_done = 0
     seen: dict = {}
